@@ -1,0 +1,84 @@
+"""Synthetic image+caption payload table (FIXTURES.md §B; BASELINE.json
+input_hint schema verbatim):
+
+    (image_id string, bytes binary, w int, h int, fmt string,
+     caption string, phash long)
+
+Pixels are a pure function of the row index (np.random.default_rng(seed
++ i)), encoded per-fmt by the codecs in functions/imaging.py. Generated
+via ``spark.range(n).mapInPandas`` — Arrow-batched, partition-parallel,
+no driver loop — so the stub fetcher can "download" by joining this
+table keyed on image_id = accession instead of the network.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+DEFAULT_SEED = 42
+
+
+def make_payload_row(i: int, seed: int = DEFAULT_SEED) -> dict:
+    """Pure (seed, i) → payload row. Shared by the Spark generator and
+    the tests' reference oracle (both call this exact function, so the
+    per-row invariant check is against the true generator output)."""
+    from edgar_crawler_spark.functions.imaging import average_hash, encode_image
+
+    rng = np.random.default_rng(seed + i)
+    w = 16 + int(i % 3) * 8  # 16/24/32 px
+    h = 16 + int(i % 5) * 4
+    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    fmt = "png" if i % 3 else "jpeg"
+    cik = 100000 + i % 997
+    image_id = f"{cik:0>10}-22-{i:06d}"  # = accession in seed_index
+    return {
+        "image_id": image_id,
+        "bytes": encode_image(pixels, fmt),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": f"image {image_id} {w}x{h} {fmt}",
+        "phash": average_hash(pixels),
+    }
+
+
+def payload_df(spark: SparkSession, n: int = 1000, seed: int = DEFAULT_SEED) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([make_payload_row(int(i), seed) for i in pdf["id"]])
+
+    # repartition so generation parallelizes even for small n
+    return spark.range(n).repartition(8).mapInPandas(gen, PAYLOAD_SCHEMA)
+
+
+def reference_pixels(i: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """The oracle's source pixels for row i (pre-encode)."""
+    rng = np.random.default_rng(seed + i)
+    w = 16 + int(i % 3) * 8
+    h = 16 + int(i % 5) * 4
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)

@@ -1,0 +1,220 @@
+"""The crawl-frontier driver loop: iterative batch waves over
+snapshot-committed state tables (the reference's two sequential CLI
+stages become a resumable dataflow).
+
+Wave dataflow (SURVEY.md §3 "Spark lifecycle"):
+
+    pending ──prioritize──► quota gate ──► fetch_wave (token-bucketed,
+      ▲                        │                per-host applyInPandas)
+      │                     deferred                  │
+      └── retries(attempts<max) ∪ deferred ◄── split by state
+                                             fetched → payload + log + seen
+
+State tables (SnapshotTable, Iceberg-layout):
+  * ``seen``     — (url_hash, canonical_url, first_seen_version)
+  * ``pending``  — frontier rows + attempts_total
+  * ``log``      — fetch log (metadata + status/attempts/wave); sorted
+                   by the global crawl key it reproduces the
+                   reference's exact crawl order
+  * ``payload``  — input_hint image+caption rows for fetched docs
+
+Crash safety: each wave commits results *before* overwriting pending;
+a crash between the two commits only re-queues rows the next wave's
+seen-anti-join immediately drops — no duplicate fetch is emitted to
+the log (dedup on url_hash at commit), no URL is lost.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from edgar_crawler_spark.frontier.canonical import with_url_identity
+from edgar_crawler_spark.frontier.fetch import fetch_wave, stub_fetcher
+from edgar_crawler_spark.frontier.priority import crawl_order, with_priority
+from edgar_crawler_spark.frontier.seen import BloomFilterTable, url_seen_anti_join
+from edgar_crawler_spark.frontier.state import SnapshotTable
+
+PAYLOAD_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+
+class CrawlFrontier:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        fetcher=stub_fetcher,
+        rate_per_host: float = 10.0,
+        virtual_clock: bool = True,
+        wave_quota: int = 10_000,
+        max_attempts: int = 3,
+        use_bloom: bool = True,
+        bloom_shards: int = 32,
+    ):
+        self.spark = spark
+        self.fetcher = fetcher
+        self.rate_per_host = rate_per_host
+        self.virtual_clock = virtual_clock
+        self.wave_quota = wave_quota
+        self.max_attempts = max_attempts
+        self.use_bloom = use_bloom
+        self.bloom_shards = bloom_shards
+        self.seen = SnapshotTable(os.path.join(workdir, "seen"))
+        self.pending = SnapshotTable(os.path.join(workdir, "pending"))
+        self.log = SnapshotTable(os.path.join(workdir, "log"))
+        self.payload = SnapshotTable(os.path.join(workdir, "payload"))
+        self.metrics: list[dict] = []
+
+    # ---- seeding -----------------------------------------------------------
+    def bootstrap_seen(self, metadata: DataFrame, url_col: str = "html_index") -> int:
+        """Load a pre-existing metadata table as the initial URL-seen
+        set (the reference's FILINGS_METADATA.csv read-back,
+        download_filings.py:139-158)."""
+        rows = (
+            with_url_identity(metadata, url_col)
+            .select("url_hash", "canonical_url")
+            .dropDuplicates()
+            .withColumn("first_seen_version", F.lit(0).cast("long"))
+        )
+        n = rows.count()
+        if n:
+            self.seen.append(rows, metrics={"bootstrap": n})
+        return n
+
+    def submit(self, seed: DataFrame, url_col: str = "html_index") -> int:
+        """Canonicalize seeds, drop already-seen and already-pending
+        URLs (J2 semantics, download_filings.py:151-158), append the
+        rest to the pending frontier. Returns rows admitted."""
+        cand = with_url_identity(seed, url_col).withColumn("attempts_total", F.lit(0))
+        cand = cand.dropDuplicates(["url_hash", "canonical_url"])
+        seen_df = self.seen.read(self.spark)
+        if seen_df is not None:
+            bloom = (
+                BloomFilterTable.build(seen_df, num_shards=self.bloom_shards)
+                if self.use_bloom
+                else None
+            )
+            cand = url_seen_anti_join(cand, seen_df, bloom=bloom)
+        prev = self.pending.read(self.spark)
+        if prev is not None:
+            cand = cand.join(
+                prev.select("url_hash", "canonical_url").dropDuplicates(),
+                on=["url_hash", "canonical_url"],
+                how="left_anti",
+            )
+        cand = cand.persist()
+        n = cand.count()
+        if n:
+            self.pending.append(cand, metrics={"admitted": n})
+        cand.unpersist()
+        return n
+
+    # ---- one wave ----------------------------------------------------------
+    def step(self) -> dict | None:
+        """Run one wave; returns its metrics dict, or None if drained."""
+        pending = self.pending.read(self.spark)
+        if pending is None:
+            return None
+        # re-filter vs seen: makes crash-recovery idempotent
+        seen_df = self.seen.read(self.spark)
+        if seen_df is not None:
+            pending = url_seen_anti_join(pending, seen_df)
+        work = with_priority(pending)
+        dispatch = work.filter(F.col("host_rank") <= self.wave_quota)
+        deferred = work.filter(F.col("host_rank") > self.wave_quota).drop(
+            "form_type_rank", "priority", "host_rank"
+        )
+        t0 = time.time()
+        results = fetch_wave(
+            dispatch,
+            fetcher=self.fetcher,
+            rate_per_host=self.rate_per_host,
+            virtual_clock=self.virtual_clock,
+        ).persist()
+        n_dispatched = results.count()  # materializes the wave
+        wall = time.time() - t0
+        if n_dispatched == 0:
+            results.unpersist()
+            self.pending.overwrite(deferred) if not deferred.isEmpty() else None
+            return None
+
+        wave_no = len(self.metrics) + 1
+        fetched = results.filter(F.col("state") == "fetched")
+        retry = results.filter(
+            (F.col("state") == "retry")
+            & (F.col("attempts_total") + 1 < self.max_attempts)
+        )
+        failed = results.filter(
+            (F.col("state") == "failed")
+            | ((F.col("state") == "retry") & (F.col("attempts_total") + 1 >= self.max_attempts))
+        )
+
+        # 1) commit results (log + payload + seen) — BEFORE touching pending
+        log_df = results.withColumn("wave", F.lit(wave_no)).drop("bytes")
+        self.log.append(log_df, metrics={"wave": wave_no, "rows": n_dispatched})
+        payload_rows = fetched.select(
+            F.regexp_extract("canonical_url", r"/(\d{10}-\d{2}-\d{6})(?:-index\.html)?$", 1).alias(
+                "image_id"
+            ),
+            "bytes",
+            F.lit(None).cast("int").alias("w"),
+            F.lit(None).cast("int").alias("h"),
+            F.lit(None).cast("string").alias("fmt"),
+            "caption",
+            F.lit(None).cast("long").alias("phash"),
+        )
+        self.payload.append(payload_rows, lineage={"wave": wave_no})
+        new_seen = fetched.select(
+            "url_hash", "canonical_url", F.lit(self.seen.current_version() + 1).alias("first_seen_version")
+        )
+        self.seen.append(new_seen, metrics={"wave": wave_no})
+
+        # 2) rebuild pending = deferred ∪ retries
+        pending_cols = [f.name for f in pending.schema.fields]
+        retry_rows = retry.select(
+            *[
+                (F.col("attempts_total") + 1).alias("attempts_total")
+                if c == "attempts_total"
+                else F.col(c)
+                for c in pending_cols
+            ]
+        )
+        next_pending = deferred.select(pending_cols).unionByName(retry_rows)
+        self.pending.overwrite(next_pending, metrics={"wave": wave_no})
+
+        m = {
+            "wave": wave_no,
+            "dispatched": n_dispatched,
+            "fetched": fetched.count(),
+            "retried": retry.count(),
+            "failed": failed.count(),
+            "wall_s": wall,
+            "urls_per_s": n_dispatched / wall if wall > 0 else 0.0,
+        }
+        results.unpersist()
+        self.metrics.append(m)
+        return m
+
+    def run(self, max_waves: int = 100) -> list[dict]:
+        out = []
+        for _ in range(max_waves):
+            m = self.step()
+            if m is None:
+                break
+            out.append(m)
+            if m["dispatched"] == 0:
+                break
+        return out
+
+    # ---- outputs -----------------------------------------------------------
+    def fetch_log(self) -> DataFrame | None:
+        """The committed fetch log in reference crawl order
+        (year, quarter, row_seq — download_filings.py:116-183)."""
+        df = self.log.read(self.spark)
+        return df.orderBy(*crawl_order()) if df is not None else None
+
+    def seen_set(self) -> DataFrame | None:
+        return self.seen.read(self.spark)

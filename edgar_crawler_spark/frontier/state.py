@@ -1,0 +1,113 @@
+"""Snapshot-committed state tables — Iceberg-layout over parquet.
+
+No Iceberg runtime jars exist in this sandbox, so this module
+implements the minimal slice of the Iceberg table spec the frontier
+needs, with the same guarantees:
+
+* atomic commits   — data files land first, then a JSON manifest is
+  renamed into place (``os.replace`` is atomic on POSIX). A reader
+  either sees snapshot v(n) or v(n+1), never a torn mix — exactly the
+  crash-safety the reference gets from its tmp+shutil.move CSV rewrite
+  (download_filings.py:196-215), but per-snapshot instead of per-row.
+* snapshot history — every commit is a manifest ``v{n}.json`` holding
+  the full file list, parent pointer, per-commit metrics and lineage;
+  resuming = reading LATEST (kill-and-resume safe).
+* time travel      — ``read(version=k)`` reads any retained snapshot.
+
+On a real cluster, swap this class for ``spark.table("catalog.db.t")``
+with Iceberg's own commit protocol; every call site uses only
+append/overwrite/read so the swap is mechanical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self._snap_dir = os.path.join(root, "_snapshots")
+        os.makedirs(self._snap_dir, exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # ---- manifest plumbing -------------------------------------------------
+    def _latest_path(self) -> str:
+        return os.path.join(self._snap_dir, "LATEST")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._latest_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _manifest(self, version: int) -> dict:
+        if version == 0:
+            return {"version": 0, "files": [], "metrics": {}, "parent": None}
+        with open(os.path.join(self._snap_dir, f"v{version:06d}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, files: list[str], mode: str, metrics: dict, lineage: dict) -> int:
+        parent = self.current_version()
+        prev = self._manifest(parent)["files"] if mode == "append" else []
+        version = parent + 1
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": mode,
+            "files": prev + files,
+            "metrics": metrics,
+            "lineage": lineage,
+            "ts": time.time(),
+        }
+        mpath = os.path.join(self._snap_dir, f"v{version:06d}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)  # atomic
+        ltmp = self._latest_path() + ".tmp"
+        with open(ltmp, "w") as f:
+            f.write(str(version))
+        os.replace(ltmp, self._latest_path())  # atomic pointer swap
+        return version
+
+    # ---- public API --------------------------------------------------------
+    def append(self, df: DataFrame, metrics: dict | None = None, lineage: dict | None = None) -> int:
+        return self._write(df, "append", metrics, lineage)
+
+    def overwrite(self, df: DataFrame, metrics: dict | None = None, lineage: dict | None = None) -> int:
+        return self._write(df, "overwrite", metrics, lineage)
+
+    def _write(self, df: DataFrame, mode: str, metrics, lineage) -> int:
+        rel = os.path.join("data", uuid.uuid4().hex)
+        path = os.path.join(self.root, rel)
+        df.write.mode("overwrite").parquet(path)
+        m = dict(metrics or {})
+        return self._commit([rel], mode, m, lineage or {})
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """None when the table has no committed snapshot yet."""
+        v = self.current_version() if version is None else version
+        files = self._manifest(v)["files"]
+        if not files:
+            return None
+        return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+
+    def read_or_empty(self, spark: SparkSession, schema: StructType, version: int | None = None) -> DataFrame:
+        df = self.read(spark, version)
+        return df if df is not None else spark.createDataFrame([], schema)
+
+    def history(self) -> list[dict]:
+        out, v = [], self.current_version()
+        while v:
+            m = self._manifest(v)
+            out.append(m)
+            v = m["parent"] or 0
+        return list(reversed(out))
