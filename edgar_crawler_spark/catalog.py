@@ -1,0 +1,794 @@
+"""Query catalog: every SQL-expressible operator from SURVEY.md §2 and
+the training-data-pipeline operators, as (Spark callable, DuckDB oracle
+SQL) pairs over the driver's /root/testdata tables.
+
+Naming contract: every computed column is aliased identically in the
+Spark plan and the oracle SQL (the driver hash-compares values after
+sorting columns by name). Numeric parity rules:
+  * money sums → bigint cents (float summation order can't bite)
+  * counts/sizes → bigint in both engines
+  * ratios/cosines → ROUND(x, 6|4) in both
+  * hash-based operators → portable H48 (operators/hashing.py), since
+    the oracle lacks xxhash64.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from edgar_crawler_spark.operators import dedup, similarity, text
+from edgar_crawler_spark.operators.hashing import h48_sql
+from edgar_crawler_spark.operators.relational import (
+    anti_join_dedup,
+    argmax_per_group,
+    cents,
+    existence_semi_join,
+    lookup_join,
+    ranked_per_group,
+    type_filter,
+    url_prefix_projection,
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# §2.1/2.2 scans, projections, filters
+# --------------------------------------------------------------------------
+
+def q_s2_date_guard(spark, sf):
+    """S2: future-quarter guard → date predicate pushed to the scan."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1997-06-30")))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_S2 = """
+SELECT l_returnflag, COUNT(*) AS n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-06-30'
+GROUP BY l_returnflag
+"""
+
+
+def q_p1_url_prefix(spark, sf):
+    """P1: constant-prefix projection (download_filings.py:443-448)."""
+    part = t(spark, sf, "part")
+    return url_prefix_projection(part, "p_name", "https://archive.test/", "url").select(
+        "p_partkey", "url"
+    )
+
+
+SQL_P1 = "SELECT p_partkey, 'https://archive.test/' || p_name AS url FROM part"
+
+
+def q_p2_type_filter(spark, sf):
+    """P2: Type.isin filter (download_filings.py:451)."""
+    o = t(spark, sf, "orders")
+    return (
+        type_filter(o, "o_orderpriority", ["1-URGENT", "2-HIGH"])
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), cents(F.sum("o_totalprice")).alias("total_cents"))
+    )
+
+
+SQL_P2 = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS total_cents
+FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+def q_p3_semi_filter(spark, sf):
+    """P3: file-sourced key-list filter = left-semi join
+    (download_filings.py:453-455)."""
+    li = t(spark, sf, "lineitem")
+    keys = t(spark, sf, "part").filter(F.col("p_size") > 40).select("p_partkey")
+    return (
+        li.join(keys.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_P3 = """
+SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+GROUP BY l_returnflag
+"""
+
+
+def q_p4_url_rewrite(spark, sf):
+    """P4: iXBRL-style regexp rewrite (download_filings.py:700-713)."""
+    part = t(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_replace(F.col("p_type"), " ", "_").alias("type_rewritten"),
+    )
+
+
+SQL_P4 = "SELECT p_partkey, regexp_replace(p_type, ' ', '_', 'g') AS type_rewritten FROM part"
+
+
+def q_p5_filename_derivation(spark, sf):
+    """P5 shape: concat_ws + regexp + substring key derivation
+    (download_filings.py:716-722)."""
+    c = t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws(
+            "_",
+            F.col("c_custkey").cast("string"),
+            F.regexp_replace(F.col("c_mktsegment"), "[AEIOU]", ""),
+            F.substring(F.col("c_name"), 1, 8),
+        ).alias("filename"),
+    )
+
+
+SQL_P5 = """
+SELECT c_custkey,
+       CAST(c_custkey AS VARCHAR) || '_' || regexp_replace(c_mktsegment, '[AEIOU]', '', 'g')
+           || '_' || substring(c_name, 1, 8) AS filename
+FROM customer
+"""
+
+
+def q_p6_null_backfill(spark, sf):
+    """P6: COALESCE back-fill from a broadcast dimension
+    (download_filings.py:649-656). Negative balances are nulled then
+    back-filled from the nation dim."""
+    c = t(spark, sf, "customer").withColumn(
+        "bal", F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal"))
+    )
+    n = t(spark, sf, "nation").select(
+        "n_nationkey", (F.col("n_nationkey") * 10.0).alias("default_bal")
+    )
+    out = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+    return out.select(
+        "c_custkey", cents(F.coalesce(F.col("bal"), F.col("default_bal"))).alias("bal_cents")
+    )
+
+
+SQL_P6 = """
+SELECT c_custkey,
+       CAST(ROUND(COALESCE(CASE WHEN c_acctbal >= 0 THEN c_acctbal END,
+                           n_nationkey * 10.0) * 100) AS BIGINT) AS bal_cents
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+def q_j1_lookup_join(spark, sf):
+    """J1: broadcast dimension lookup (download_filings.py:401-411)."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    return (
+        lookup_join(c, n.withColumnRenamed("n_nationkey", "c_nationkey"), "c_nationkey")
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"), cents(F.sum("c_acctbal")).alias("acctbal_cents"))
+    )
+
+
+SQL_J1 = """
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(c_acctbal) * 100) AS BIGINT) AS acctbal_cents
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_j2_anti_join(spark, sf):
+    """J2 — THE dedup: new rows kept only if key unseen
+    (download_filings.py:151-158)."""
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    return anti_join_dedup(o, li, "o_orderkey").select("o_orderkey", "o_orderstatus")
+
+
+SQL_J2 = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+"""
+
+
+def q_j3_semi_join(spark, sf):
+    """J3: existence semi-join (download_filings.py:139-149)."""
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    return (
+        existence_semi_join(o, li, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_J3 = """
+SELECT o_orderstatus, COUNT(*) AS n FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+GROUP BY o_orderstatus
+"""
+
+
+def q_j5_extract_skip(spark, sf):
+    """J5: skip-already-extracted anti-join (extract_items.py:1171-1173)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    return anti_join_dedup(c, o, "c_custkey").select("c_custkey", "c_mktsegment")
+
+
+SQL_J5 = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 union / ordering / windows / aggregation
+# --------------------------------------------------------------------------
+
+def q_a1_union(spark, sf):
+    """A1: pd.concat → UNION ALL (download_filings.py:458-461)."""
+    o = t(spark, sf, "orders")
+    lo = o.filter(F.col("o_totalprice") < 1000)
+    hi = o.filter(F.col("o_totalprice") > 400000)
+    return lo.unionByName(hi).groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+SQL_A1 = """
+SELECT o_orderpriority, COUNT(*) AS n FROM (
+  SELECT * FROM orders WHERE o_totalprice < 1000
+  UNION ALL
+  SELECT * FROM orders WHERE o_totalprice > 400000
+) GROUP BY o_orderpriority
+"""
+
+
+def q_a2_global_order(spark, sf):
+    """A2: deterministic global crawl order → row_number over explicit
+    sort key (download_filings.py:116-183)."""
+    li = t(spark, sf, "lineitem")
+    w = Window.orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("rnk", "l_orderkey", "l_linenumber", cents(F.col("l_extendedprice")).alias("price_cents"))
+    )
+
+
+SQL_A2 = """
+SELECT rnk, l_orderkey, l_linenumber, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+      FROM lineitem)
+WHERE rnk <= 20
+"""
+
+
+def q_a3_per_host_rank(spark, sf):
+    """A3: per-host priority queue → row_number per partition key."""
+    o = t(spark, sf, "orders")
+    ranked = ranked_per_group(
+        o, ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    )
+    return ranked.filter(F.col("rnk") <= 3).select(
+        "o_custkey", "rnk", "o_orderkey"
+    )
+
+
+SQL_A3 = """
+SELECT o_custkey, rnk, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def q_a5_agg_summary(spark, sf):
+    """A5: the pricing-summary aggregate (TPC-H Q1 shape; success-count
+    summary analogue, extract_items.py:1263-1266)."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            cents(F.sum("l_extendedprice")).alias("sum_base_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_A5 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_cents,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_a6_argmax(spark, sf):
+    """A6: max-length match selection → argmax per group
+    (extract_items.py:714-775)."""
+    li = t(spark, sf, "lineitem")
+    best = argmax_per_group(
+        li, ["l_orderkey"], [F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()]
+    )
+    return best.select("l_orderkey", "l_linenumber", cents(F.col("l_extendedprice")).alias("price_cents"))
+
+
+SQL_A6 = """
+SELECT l_orderkey, l_linenumber, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_extendedprice DESC, l_linenumber) AS r
+      FROM lineitem)
+WHERE r = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 text kernels that ARE builtin-expressible
+# --------------------------------------------------------------------------
+
+def q_t3_collapse_whitespace(spark, sf):
+    """T3: multi-space collapse as a regexp_replace chain
+    (extract_items.py:223-243); md5 keeps the compared payload small."""
+    d = t(spark, sf, "documents")
+    collapsed = F.regexp_replace(F.col("text"), " +", " ")
+    return d.select("doc_id", F.md5(collapsed).alias("collapsed_md5"))
+
+
+SQL_T3 = "SELECT doc_id, md5(regexp_replace(text, ' +', ' ', 'g')) AS collapsed_md5 FROM documents"
+
+
+def q_t13_dispatch(spark, sf):
+    """T13: filing-type dispatch → CASE WHEN rank mapping
+    (extract_items.py:163-199)."""
+    o = t(spark, sf, "orders")
+    rank = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 0)
+        .when(F.col("o_orderpriority") == "2-HIGH", 1)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 2)
+        .otherwise(9)
+        .cast("long")
+    )
+    return o.withColumn("type_rank", rank).groupBy("type_rank").agg(F.count("*").alias("n"))
+
+
+SQL_T13 = """
+SELECT CAST(CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+            WHEN '3-MEDIUM' THEN 2 ELSE 9 END AS BIGINT) AS type_rank,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup family (documents)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dedup(t(spark, sf, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+_SQL_TOKS = """
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+)
+"""
+
+
+def q_dedup_minhash_sig(spark, sf):
+    return dedup.minhash_signatures(t(spark, sf, "documents")).withColumn(
+        "seed", F.col("seed").cast("long")
+    )
+
+
+SQL_DEDUP_MINHASH_SIG = f"""
+WITH {_SQL_TOKS},
+seeded AS (SELECT doc_id, seed, tok FROM toks CROSS JOIN generate_series(0, 7) AS g(seed))
+SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+       MIN({h48_sql("tok || '#' || CAST(seed AS VARCHAR)")}) AS minhash
+FROM seeded GROUP BY doc_id, seed
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_pairs(t(spark, sf, "documents"))
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_SQL_TOKS},
+seeded AS (SELECT doc_id, seed, tok FROM toks CROSS JOIN generate_series(0, 7) AS g(seed)),
+sigs AS (
+  SELECT doc_id, seed, MIN({h48_sql("tok || '#' || CAST(seed AS VARCHAR)")}) AS minhash
+  FROM seeded GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, seed // 2)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    return dedup.simhash(t(spark, sf, "documents"))
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {_SQL_TOKS},
+h AS (SELECT doc_id, {h48_sql("tok")} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN generate_series(0, 31) AS g(b) GROUP BY doc_id, b)
+SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_dedup_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(t(spark, sf, "documents"), threshold=0.6)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {_SQL_TOKS},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.6
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def _planes_sql(n_planes: int = 4, dim: int = 64) -> list[str]:
+    return [
+        "[" + ", ".join(f"{float(x):.1f}" for x in p) + "]::DOUBLE[]"
+        for p in similarity.hyperplanes(n_planes, dim)
+    ]
+
+
+def q_ann_bruteforce(spark, sf):
+    return similarity.brute_force_topk(t(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+SQL_ANN_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_inner_product(qv, cv) /
+           (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos
+  FROM q, c WHERE query_id != neighbor_id)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, ROUND(cos, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+"""
+
+
+def q_ann_lsh(spark, sf):
+    return similarity.lsh_bucketed_topk(t(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+def _sql_bucket_expr(vec: str) -> str:
+    terms = [
+        f"(CASE WHEN list_inner_product({vec}, {p}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_planes_sql())
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+SQL_ANN_LSH = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {_sql_bucket_expr("embedding::DOUBLE[]")} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e
+      WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_inner_product(qv, c.v) /
+           (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+  FROM q JOIN e c USING (bucket) WHERE query_id != c.vec_id)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, ROUND(cos, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+"""
+
+
+def q_emb_near_dup(spark, sf):
+    return similarity.embedding_near_dup_pairs(t(spark, sf, "embeddings"), threshold=0.25)
+
+
+SQL_EMB_NEAR_DUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {_sql_bucket_expr("embedding::DOUBLE[]")} AS bucket
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b USING (bucket)
+WHERE a.vec_id < b.vec_id
+  AND list_inner_product(a.v, b.v) /
+      (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.25
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis (documents)
+# --------------------------------------------------------------------------
+
+def q_text_token_count(spark, sf):
+    return text.token_count(t(spark, sf, "documents"))
+
+
+SQL_TEXT_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       GREATEST(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT),
+                CAST(FLOOR(length(text) / 4) AS BIGINT)) AS n_subwords_est
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf):
+    return text.quality_score(t(spark, sf, "documents"))
+
+
+SQL_TEXT_QUALITY = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> lower(x) IN ('a','the','of','and','to','in'))) AS BIGINT) AS n_stop
+  FROM documents)
+SELECT doc_id, n_tokens,
+       ROUND(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0 END, 6) AS punct_ratio,
+       ROUND(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END, 6) AS stop_ratio,
+       ROUND(CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) ELSE 0 END, 6) AS mean_tok_len,
+       ROUND(
+         (CASE WHEN n_tokens >= 5
+                AND (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) >= 2
+                AND (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) <= 12
+               THEN 1.0 ELSE 0.0 END)
+         - (CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0 END) * 2
+         + (CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END), 6) AS quality
+FROM f
+"""
+
+
+def q_text_langid(spark, sf):
+    return text.lang_id(t(spark, sf, "documents"))
+
+
+SQL_TEXT_LANGID = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('the','a','of','scan','row'))) AS BIGINT) AS hits_en,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('le','la','de','et','un'))) AS BIGINT) AS hits_fr
+  FROM documents)
+SELECT doc_id, hits_en, hits_fr,
+       CASE WHEN hits_en >= hits_fr THEN 'en' ELSE 'fr' END AS lang_pred
+FROM f
+"""
+
+
+def q_text_fingerprint(spark, sf):
+    return text.fingerprint(t(spark, sf, "documents"))
+
+
+_NORM_EXPR = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+SQL_TEXT_FINGERPRINT = (
+    "SELECT doc_id, md5("
+    + _NORM_EXPR
+    + ") AS fp_md5, "
+    + h48_sql(_NORM_EXPR)
+    + " AS fp_h48 FROM documents"
+)
+
+
+# --------------------------------------------------------------------------
+# events (streaming analogues in batch form)
+# --------------------------------------------------------------------------
+
+def q_ev_tumbling_hourly(spark, sf):
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(F.count("*").alias("n"), cents(F.sum("value")).alias("value_cents"))
+    )
+
+
+SQL_EV_TUMBLING = """
+SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_cents
+FROM events GROUP BY 1
+"""
+
+
+def q_ev_sessionize(spark, sf):
+    """Session windows (30-min gap) in batch form — the lag/cumsum
+    construction Structured Streaming replaces with session windows."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("is_start", starts)
+        .groupBy("user_id")
+        .agg(F.sum("is_start").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+SQL_EV_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS is_start
+  FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events))
+SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_ev_json_props(spark, sf):
+    e = t(spark, sf, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+SQL_EV_JSON = """
+SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_ev_topk_users(spark, sf):
+    e = t(spark, sf, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+SQL_EV_TOPK = """
+SELECT user_id, n, rnk FROM (
+  SELECT user_id, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rnk
+  FROM events GROUP BY user_id)
+WHERE rnk <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# flagship (entry) — the crawl-shaped composite
+# --------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-shaped pipeline over the synthetic tables: dedup
+    (anti-join) → per-'host' priority queue (row_number, quota 3) →
+    broadcast enrichment → summary agg. Touches J2, A3, J1/J4, A5."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    # treat customers with no prior order history as "new frontier"
+    already = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    new = o.join(already, "o_orderkey", "left_anti")
+    ranked = ranked_per_group(
+        new, ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    ).filter(F.col("rnk") <= 3)
+    enriched = ranked.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        ranked.o_custkey == F.col("c_custkey"),
+    ).join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+    return (
+        enriched.groupBy("n_name")
+        .agg(F.count("*").alias("dispatched"), cents(F.sum("o_totalprice")).alias("total_cents"))
+        .orderBy("n_name")
+    )
+
+
+SQL_FLAGSHIP = """
+WITH new_orders AS (
+  SELECT * FROM orders WHERE o_orderkey NOT IN
+    (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk
+  FROM new_orders)
+SELECT n_name, COUNT(*) AS dispatched,
+       CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS total_cents
+FROM ranked
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE rnk <= 3
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "flagship_frontier_pipeline": (flagship, SQL_FLAGSHIP),
+    "s2_date_guard": (q_s2_date_guard, SQL_S2),
+    "p1_url_prefix": (q_p1_url_prefix, SQL_P1),
+    "p2_type_filter": (q_p2_type_filter, SQL_P2),
+    "p3_semi_filter": (q_p3_semi_filter, SQL_P3),
+    "p4_url_rewrite": (q_p4_url_rewrite, SQL_P4),
+    "p5_filename_derivation": (q_p5_filename_derivation, SQL_P5),
+    "p6_null_backfill": (q_p6_null_backfill, SQL_P6),
+    "j1_lookup_join": (q_j1_lookup_join, SQL_J1),
+    "j2_anti_join_dedup": (q_j2_anti_join, SQL_J2),
+    "j3_existence_semi_join": (q_j3_semi_join, SQL_J3),
+    "j5_extract_skip_anti_join": (q_j5_extract_skip, SQL_J5),
+    "a1_union_all": (q_a1_union, SQL_A1),
+    "a2_global_crawl_order": (q_a2_global_order, SQL_A2),
+    "a3_per_host_rank": (q_a3_per_host_rank, SQL_A3),
+    "a5_agg_summary": (q_a5_agg_summary, SQL_A5),
+    "a6_argmax_per_group": (q_a6_argmax, SQL_A6),
+    "t3_collapse_whitespace": (q_t3_collapse_whitespace, SQL_T3),
+    "t13_type_dispatch": (q_t13_dispatch, SQL_T13),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_signatures": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
+    "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "ann_bruteforce_topk": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
+    "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
+    "emb_near_dup_pairs": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
+    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
+    "text_quality_score": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_lang_id": (q_text_langid, SQL_TEXT_LANGID),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "ev_tumbling_hourly": (q_ev_tumbling_hourly, SQL_EV_TUMBLING),
+    "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
+    "ev_json_props": (q_ev_json_props, SQL_EV_JSON),
+    "ev_topk_users": (q_ev_topk_users, SQL_EV_TOPK),
+}

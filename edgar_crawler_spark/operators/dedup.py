@@ -1,0 +1,146 @@
+"""Deduplication operators for a large-scale training-data pipeline,
+over a ``documents(doc_id, text, lang, source, n_chars)`` table.
+
+All four families are expressed as DataFrame transformations whose
+every stage is a standard shuffle-aware primitive (explode → groupBy →
+join); nothing touches Python row-at-a-time.
+
+Scale notes (100 TB):
+* exact     — one hash-groupBy; the md5 shuffle key is tiny vs text.
+* minhash   — explode(tokens) is the big flatMap; signatures are
+  k longs per doc; the LSH band join shuffles only (band, key) pairs,
+  never text. Candidate verification joins back by doc_id.
+* simhash   — same explode, then a 32-way bit unpivot (sequence +
+  explode) and one groupBy; output one long per doc.
+* jaccard   — token self-join is quadratic per token; cap token
+  document-frequency (stop-token removal) before joining at scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from edgar_crawler_spark.operators.hashing import h48_col
+
+MINHASH_K = 8  # permutations
+LSH_BANDS = 4  # k/BANDS rows per band
+SIMHASH_BITS = 32
+
+
+def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, tok) — distinct whitespace tokens per document."""
+    return (
+        docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .dropDuplicates(["doc_id", "tok"])
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: representative = min doc_id per
+    md5(text). Returns (doc_id, text_md5, dup_count)."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count"))
+        .select("doc_id", "text_md5", "dup_count")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, seed, minhash) — k independent min-hashes per doc.
+    Permutation i = H48(token || '#' || i): one explode, one groupBy."""
+    toks = tokens(docs)
+    seeded = toks.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"), "tok"
+    )
+    h = h48_col(F.concat(F.col("tok"), F.lit("#"), F.col("seed").cast("string")))
+    return (
+        seeded.withColumn("h", h)
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH: docs sharing any
+    band (a group of k/bands consecutive minhashes) become a pair.
+    Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    sigs = minhash_signatures(docs, k)
+    rows_per_band = k // bands
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        # band key = minhashes in seed order (collect_list order is not
+        # deterministic, so sort (seed, minhash) structs first)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda x: x["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, text_col: str = "text"
+) -> DataFrame:
+    """Exact token-set Jaccard over all pairs sharing >=1 token:
+    |A∩B| via token self-join, |A∪B| = |A|+|B|−|A∩B|.
+    Returns (doc_a, doc_b, jaccard) for pairs >= threshold."""
+    toks = tokens(docs, text_col)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, on="tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — classic Charikar sketch over token hashes:
+    bit b of the sketch = majority of bit b across H48(token)."""
+    toks = tokens(docs).withColumn("h", h48_col(F.col("tok")))
+    unpivoted = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "h",
+    ).withColumn(
+        # shiftright() builtin only takes a literal shift; the SQL >>
+        # operator accepts a column
+        "vote", F.expr("((h >> b) & 1) * 2 - 1")
+    )
+    return (
+        unpivoted.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )

@@ -1,0 +1,105 @@
+"""The reference's relational dataflow (SURVEY.md §2.1-2.4) as
+reusable DataFrame combinators, exercised over the driver's synthetic
+TPC-H-ish tables by __spark_entry__.py.
+
+Every function is a pure DataFrame→DataFrame transformation built from
+JVM-side expressions: predicate pushdown, column pruning and join
+selection are Catalyst's job, not ours. Money aggregates are summed as
+bigint cents so Spark and the DuckDB oracle agree bit-exactly
+regardless of float summation order.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def cents(col) -> F.Column:
+    """Exact money: double dollars → bigint cents."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+# --- P: projections / filters (download_filings.py:443-455,700-722) --------
+
+def url_prefix_projection(df: DataFrame, col: str, prefix: str, out: str) -> DataFrame:
+    """P1: prepend constant prefix (download_filings.py:443-448)."""
+    return df.withColumn(out, F.concat(F.lit(prefix), F.col(col)))
+
+
+def type_filter(df: DataFrame, col: str, allowed: list[str]) -> DataFrame:
+    """P2: df[df.Type.isin(filing_types)] (download_filings.py:451)."""
+    return df.filter(F.col(col).isin(allowed))
+
+
+def semi_filter(df: DataFrame, keys: DataFrame, on: str) -> DataFrame:
+    """P3 (file-sourced CIK list): left-semi join
+    (download_filings.py:453-455)."""
+    return df.join(keys, on=on, how="left_semi")
+
+
+def url_rewrite(df: DataFrame, col: str, pattern: str, replacement: str, out: str) -> DataFrame:
+    """P4: iXBRL URL rewrite as regexp_replace
+    (download_filings.py:700-713)."""
+    return df.withColumn(out, F.regexp_replace(F.col(col), pattern, replacement))
+
+
+def filename_derivation(df: DataFrame) -> DataFrame:
+    """P5 shape: {CIK}_{type-sans-dashes}_{year}_{accession}.{ext}
+    (download_filings.py:716-722), over synthetic columns."""
+    return df.withColumn(
+        "filename",
+        F.concat_ws(
+            "_",
+            F.col("cik"),
+            F.regexp_replace(F.col("type"), r"[-/\\]", ""),
+            F.substring(F.col("date"), 1, 4),
+            F.regexp_extract(F.col("complete_text_file_link"), r"/([^/]+)\.txt$", 1),
+        ),
+    )
+
+
+def null_backfill(df: DataFrame, dim: DataFrame, on: str, cols: list[str]) -> DataFrame:
+    """P6/J4: broadcast-join enrichment + COALESCE back-fill
+    (download_filings.py:649-656)."""
+    dim_renamed = dim.select(on, *[F.col(c).alias(f"__dim_{c}") for c in cols])
+    out = df.join(F.broadcast(dim_renamed), on=on, how="left")
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__dim_{c}"))).drop(f"__dim_{c}")
+    return out
+
+
+# --- J: joins (download_filings.py:139-158,401-411,571-656) -----------------
+
+def lookup_join(df: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """J1/J4: small-dimension lookup — always broadcast."""
+    return df.join(F.broadcast(dim), on=on, how=how)
+
+
+def anti_join_dedup(new: DataFrame, old: DataFrame, on: str | list[str]) -> DataFrame:
+    """J2/J5: keep rows not present in `old`
+    (download_filings.py:151-158; extract_items.py:1171-1173)."""
+    keys = old.select(*([on] if isinstance(on, str) else on)).dropDuplicates()
+    return new.join(keys, on=on, how="left_anti")
+
+
+def existence_semi_join(df: DataFrame, existing: DataFrame, on: str | list[str]) -> DataFrame:
+    """J3: keep only rows whose blob/key exists
+    (download_filings.py:139-149)."""
+    keys = existing.select(*([on] if isinstance(on, str) else on)).dropDuplicates()
+    return df.join(keys, on=on, how="left_semi")
+
+
+# --- A: ordering / aggregation (SURVEY.md §2.4) -----------------------------
+
+def ranked_per_group(df: DataFrame, part: list[str], order: list, rank_col: str = "rnk") -> DataFrame:
+    """A3-shape: row_number per group (the per-host priority queue)."""
+    w = Window.partitionBy(*part).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w))
+
+
+def argmax_per_group(df: DataFrame, part: list[str], order: list) -> DataFrame:
+    """A6: pick the single best row per group (the max-length match
+    selection, extract_items.py:714-775, relationally)."""
+    return ranked_per_group(df, part, order, "__r").filter(F.col("__r") == 1).drop("__r")

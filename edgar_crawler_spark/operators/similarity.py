@@ -1,0 +1,121 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``brute_force_topk``   — exact cosine top-k: query×candidate join,
+  dot products via zip_with/aggregate (JVM higher-order functions, no
+  Python), window top-k. O(Q·N) — the correctness baseline.
+* ``lsh_bucketed_topk``  — the scale path: random-hyperplane LSH.
+  Each vector gets a ``bucket`` = sign bits of dots with a fixed ±1
+  hyperplane matrix; candidates are joined per bucket only. At 100 TB
+  the bucket join replaces the full cross join with a key-equality
+  shuffle; recall is tuned by n_planes (fewer planes → bigger buckets).
+
+Determinism: the hyperplane matrix is a pure function of
+(n_planes, dim) — the same literals are injected into the DuckDB
+oracle, so results match exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 matrix (no RNG: pure index arithmetic)."""
+    return [
+        [1 if ((d * (j + 3) + 7 * j + d // 7) % 5) < 2 else -1 for d in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k neighbours for each query id.
+    Returns (query_id, neighbor_id, rnk, cos)."""
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos", 4).alias("cos"))
+    )
+
+
+def bucket_col(vec: Column, planes: list[list[int]]) -> Column:
+    """LSH bucket id = Σ_j (dot(v, plane_j) > 0) << j."""
+    out = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        dot_j = _dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+        out = out + F.when(dot_j > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket. Same output shape as brute_force_topk."""
+    planes = hyperplanes(n_planes, dim)
+    withb = emb.withColumn("bucket", bucket_col(F.col(vec_col), planes))
+    q = withb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    c = withb.select(F.col("vec_id").alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
+    scored = (
+        q.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos", 4).alias("cos"))
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, n_planes: int = 4, dim: int = 64
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets:
+    (vec_a, vec_b, cos) with cos >= threshold, vec_a < vec_b."""
+    planes = hyperplanes(n_planes, dim)
+    withb = emb.withColumn("bucket", bucket_col(F.col("embedding"), planes))
+    a = withb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "bucket")
+    b = withb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "bucket")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
+    )

@@ -1,0 +1,94 @@
+"""Text-analysis operators for the training-data pipeline, over the
+``documents`` table. Everything is JVM-side built-in functions
+(whole-stage codegen) — no UDF in any of these paths.
+
+* token_count      — whitespace tokens + a BPE-ish subword estimate
+  (chars/4 heuristic upper-bounded by char count).
+* quality_score    — length / punctuation-ratio / stopword-ratio /
+  mean-token-length features + a composite score.
+* lang_id          — marker-token heuristic (per-language marker hit
+  counts → argmax). A real n-gram model would be a broadcast lookup
+  with the same shape.
+* fingerprint      — md5 over whitespace-normalized lowercase text
+  (document identity robust to spacing), plus H48 for numeric keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from edgar_crawler_spark.operators.hashing import h48_col
+
+# marker vocabularies for the synthetic corpus (documents.text draws
+# from a small OLAP-ish vocabulary; lang markers are defined over it)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "scan", "row"],
+    "fr": ["le", "la", "de", "et", "un"],
+}
+STOPWORDS = ["a", "the", "of", "and", "to", "in"]
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    n_ws = F.size(F.filter(F.split(t, " "), lambda x: x != ""))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_tokens"),
+        F.length(t).alias("n_chars_actual"),
+        # BPE-ish estimate: ~4 chars/token floor at whitespace count
+        F.greatest(n_ws, (F.length(t) / 4).cast("long")).alias("n_subwords_est"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, " "), lambda x: x != "")
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    n_punct = F.size(F.split(t, PUNCT_CLASS)) - 1
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(STOPWORDS)))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tokens >= 5) & (mean_tok_len >= 2) & (mean_tok_len <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+        - punct_ratio * 2
+        + stop_ratio
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+
+    # NB: the lambda must be single-arg — a second parameter would make
+    # PySpark pass the element *index* as that argument
+    def _hit_counter(markers):
+        return F.size(F.filter(toks, lambda x: x.isin(markers)))
+
+    hits = {lang: _hit_counter(markers) for lang, markers in LANG_MARKERS.items()}
+    pred = F.when(hits["en"] >= hits["fr"], F.lit("en")).otherwise(F.lit("fr"))
+    return docs.select(
+        "doc_id",
+        hits["en"].alias("hits_en"),
+        hits["fr"].alias("hits_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        h48_col(norm).alias("fp_h48"),
+    )
