@@ -1,0 +1,153 @@
+"""Benchmark harness: headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
+frontier fetch-scheduler throughput (URLs/s) on a synthetic seed list.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "frontier": {...}}
+
+Every query is materialized through the noop sink (full compute, no
+collect-to-driver skew). Politeness runs on the virtual clock so the
+throughput number measures the scheduler, not deliberate sleeping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from edgar_crawler_spark.catalog import CATALOG  # noqa: E402
+from edgar_crawler_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_frontier_pipeline",
+    "a5_agg_summary",
+    "j2_anti_join_dedup",
+    "a6_argmax_per_group",
+    "a3_per_host_rank",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "text_quality_score",
+    "text_fingerprint",
+    "ev_sessionize",
+    "ev_tumbling_hourly",
+]
+
+FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "20000"))
+
+
+def bench_frontier(spark, n: int) -> dict:
+    from edgar_crawler_spark.fixtures.seed_index import seed_index_df
+    from edgar_crawler_spark.frontier.frontier import CrawlFrontier
+
+    wd = tempfile.mkdtemp(prefix="bench_frontier_")
+    try:
+        fr = CrawlFrontier(spark, wd, rate_per_host=10.0, virtual_clock=True, wave_quota=10**9)
+        seed = seed_index_df(spark, n, n_hosts=256, hot_host=False)
+        t0 = time.time()
+        admitted = fr.submit(seed)
+        fr.run()
+        wall = time.time() - t0
+        fetched = sum(m["fetched"] for m in fr.metrics)
+        return {
+            "n_urls": admitted,
+            "fetched": fetched,
+            "wall_s": round(wall, 3),
+            "urls_per_s": round(fetched / wall, 1) if wall > 0 else 0.0,
+        }
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def bench_fetch_job(spark, n: int, n_hosts: int = 4096) -> dict:
+    """Pure fetch-scheduler throughput as ONE distributed job (the
+    per-wave snapshot commits are a constant amortized by wave size at
+    10^10 scale and are measured separately by bench_frontier):
+    seed → canonicalize/hash → per-host priority → token-bucketed fetch
+    → Arrow decode+validate → noop sink."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.fixtures.seed_index import seed_index_df
+    from edgar_crawler_spark.frontier.canonical import with_url_identity
+    from edgar_crawler_spark.frontier.fetch import fetch_wave
+    from edgar_crawler_spark.frontier.priority import with_priority
+    from edgar_crawler_spark.operators.multimodal import decode_and_validate
+
+    seed = seed_index_df(spark, n, n_hosts=n_hosts, hot_host=False)
+    work = with_priority(with_url_identity(seed).withColumn("attempts_total", F.lit(0)))
+    fetched = fetch_wave(work, rate_per_host=10.0, virtual_clock=True)
+    validated = decode_and_validate(fetched.select("canonical_url", "row_seq", "bytes", "caption"))
+    t0 = time.time()
+    validated.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    return {
+        "n_urls": n,
+        "n_hosts": n_hosts,
+        "wall_s": round(wall, 3),
+        "urls_per_s": round(n / wall, 1) if wall > 0 else 0.0,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if len(sys.argv) > 1 and sys.argv[1] == "fetch-job":
+        n = int(os.environ.get("SPARK_GRAFT_FETCH_URLS", "400000"))
+        spark = get_spark(
+            app_name="edgar-crawler-spark-fetch-bench",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(cpus, 8),
+        )
+        bench_fetch_job(spark, 2000, n_hosts=64)  # warmup
+        out = bench_fetch_job(spark, n)
+        out.update({"metric": "frontier_fetch_throughput", "unit": "urls_per_s", "cpus": cpus})
+        print(json.dumps(out))
+        spark.stop()
+        return
+    spark = get_spark(
+        app_name="edgar-crawler-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    # JVM warmup on the smallest SF
+    CATALOG["flagship_frontier_pipeline"][0](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name][0]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    frontier = bench_frontier(spark, FRONTIER_URLS)
+    total = round(sum(queries.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "frontier": frontier,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,16 +41,30 @@ SEED_INDEX_COLUMNS = [
 ]
 
 
-def seed_index_df(spark: SparkSession, n: int = 1000, year: int = 2022, quarter: int = 1) -> DataFrame:
+def seed_index_df(
+    spark: SparkSession,
+    n: int = 1000,
+    year: int = 2022,
+    quarter: int = 1,
+    n_hosts: int = 8,
+    hot_host: bool = True,
+) -> DataFrame:
     """n rows of 2022-Q1-shaped filings. row_seq = line number in the
     (year, quarter) index file = the deterministic crawl-order key
-    (reference crawl order is file order, download_filings.py:116-183)."""
+    (reference crawl order is file order, download_filings.py:116-183).
+
+    hot_host=True sends ~50% of rows to host0 (skew case); otherwise
+    rows spread uniformly over n_hosts (the 10^10-frontier shape, where
+    host count >> core count)."""
     i = F.col("id")
     cik = (F.lit(100000) + i % 997).cast("string")
-    # hot host: even rows all land on host0 (~50%); odd rows spread over host1..7
-    host = F.when(i % 2 == 0, F.lit("host0.test")).otherwise(
-        F.concat(F.lit("host"), (F.lit(1) + i % 7).cast("string"), F.lit(".test"))
-    )
+    if hot_host:
+        # hot host: even rows all land on host0 (~50%); odd rows spread over the rest
+        host = F.when(i % 2 == 0, F.lit("host0.test")).otherwise(
+            F.concat(F.lit("host"), (F.lit(1) + i % (n_hosts - 1)).cast("string"), F.lit(".test"))
+        )
+    else:
+        host = F.concat(F.lit("host"), (i % n_hosts).cast("string"), F.lit(".test"))
     accession = F.concat(F.lpad(cik, 10, "0"), F.lit("-22-"), F.lpad(i.cast("string"), 6, "0"))
     txt_link = F.concat(
         F.lit("https://"), host, F.lit("/Archives/edgar/data/"), cik, F.lit("/"), accession, F.lit(".txt")

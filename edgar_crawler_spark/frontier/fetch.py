@@ -106,70 +106,116 @@ def http_fetcher_factory(user_agent: str):
     return fetch
 
 
+def _fetch_one(fetcher, url: str, bucket, clk) -> tuple:
+    """Full retry + throttle protocol for one URL (reference N1/N2)."""
+    waited = 0.0
+    status, body, caption, err = 0, None, None, None
+    attempts = 0
+    for outer in range(OUTER_THROTTLE_ATTEMPTS):  # throttle-banner loop
+        for retry_i in range(1, RETRY_TOTAL + 1):  # urllib3-equivalent loop
+            waited += bucket.acquire()
+            b = backoff_seconds(retry_i)
+            if b:
+                (clk.sleep if clk else bucket.sleep)(b)
+                waited += b
+            attempts += 1
+            try:
+                status, body, caption = fetcher(url, attempts)
+            except Exception as e:  # fetcher must not kill the task
+                status, body, caption, err = -1, None, None, str(e)[:200]
+            if status == 200 or not (is_retryable(status) or status == -1):
+                break
+        if status == 200 and is_throttled(body):
+            # exponential host cool-down, then re-enter (N2)
+            pause = 2.0**outer
+            (clk.sleep if clk else bucket.sleep)(pause)
+            waited += pause
+            continue
+        break
+    if status == 200 and not is_throttled(body):
+        state = "fetched"
+    elif is_retryable(status) or status == -1:
+        state = "retry"  # back to frontier with attempt counter
+    else:
+        state = "failed"
+    return status, attempts, state, waited, body, caption, err
+
+
 def fetch_wave(
     frontier: DataFrame,
     fetcher=stub_fetcher,
     rate_per_host: float = 10.0,
     virtual_clock: bool = True,
     order_col: str = "host_rank",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Dispatch one wave. Input must carry host + host_rank (from
-    with_priority). Output = input columns + FETCH_RESULT_FIELDS."""
+    with_priority). Output = input columns + FETCH_RESULT_FIELDS.
+
+    Physical plan: project the 4 columns the scheduler needs (the
+    Arrow boundary is priced per column × row — shipping the full
+    metadata row through Python costs ~5× more than the fetch itself)
+    → explicit ``repartition(N, host)`` (a host never spans partitions,
+    and AQE does NOT coalesce an explicit repartition — the Python
+    fetch stage keeps full parallelism even though its shuffle input is
+    tiny) → ``sortWithinPartitions(host, rank)`` (a host's queue
+    arrives contiguous, in priority order) → ``mapInPandas`` with
+    per-host token buckets carried across Arrow batches (a giant host's
+    queue streams through; it is never materialized whole, unlike
+    groupBy().applyInPandas) → JVM-side hash join back onto the full
+    frontier row by url_hash."""
     in_fields = list(frontier.schema.fields)
     out_schema = StructType(in_fields + FETCH_RESULT_FIELDS)
-    in_cols = [f.name for f in in_fields]
+    if num_partitions is None:
+        num_partitions = frontier.sparkSession.sparkContext.defaultParallelism * 2
+    slim_schema = StructType(
+        [frontier.schema["url_hash"]] + FETCH_RESULT_FIELDS
+    )
 
-    def fetch_host(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
-        clk = VirtualClock() if virtual_clock else None
-        bucket = (
-            TokenBucket(rate_per_host, clock=clk, sleep=clk.sleep)
-            if clk
-            else TokenBucket(rate_per_host)
-        )
-        res = {f.name: [] for f in FETCH_RESULT_FIELDS}
-        for seq, row in enumerate(pdf.itertuples(index=False)):
-            url = row.canonical_url
-            waited = 0.0
-            status, body, caption, err = 0, None, None, None
-            attempts = 0
-            state = "failed"
-            for outer in range(OUTER_THROTTLE_ATTEMPTS):  # throttle-banner loop
-                for retry_i in range(1, RETRY_TOTAL + 1):  # urllib3-equivalent loop
-                    waited += bucket.acquire()
-                    b = backoff_seconds(retry_i)
-                    if b:
-                        bucket.sleep(b) if not clk else clk.sleep(b)
-                        waited += b
-                    attempts += 1
-                    try:
-                        status, body, caption = fetcher(url, attempts)
-                    except Exception as e:  # fetcher must not kill the task
-                        status, body, caption, err = -1, None, None, str(e)[:200]
-                    if status == 200 or not (is_retryable(status) or status == -1):
-                        break
-                if status == 200 and is_throttled(body):
-                    # exponential host cool-down, then re-enter (N2)
-                    pause = 2.0**outer
-                    (clk.sleep if clk else bucket.sleep)(pause)
-                    waited += pause
-                    continue
-                break
-            if status == 200 and not is_throttled(body):
-                state = "fetched"
-            elif is_retryable(status) or status == -1:
-                state = "retry"  # back to frontier with attempt counter
-            res["status"].append(status)
-            res["attempts"].append(attempts)
-            res["state"].append(state)
-            res["wait_s"].append(waited)
-            res["dispatch_seq"].append(seq)
-            res["bytes"].append(body if state == "fetched" else None)
-            res["caption"].append(caption)
-            res["error"].append(err)
-        out = pdf[in_cols].copy()
-        for k, v in res.items():
-            out[k] = pd.Series(v, dtype=object) if k in ("bytes",) else v
-        return out
+    def run(batches):
+        buckets: dict[str, object] = {}
+        clocks: dict[str, object] = {}
+        seqs: dict[str, int] = {}
 
-    return frontier.groupBy("host").applyInPandas(fetch_host, out_schema)
+        def bucket_for(host: str):
+            if host not in buckets:
+                clk = VirtualClock() if virtual_clock else None
+                clocks[host] = clk
+                buckets[host] = (
+                    TokenBucket(rate_per_host, clock=clk, sleep=clk.sleep)
+                    if clk
+                    else TokenBucket(rate_per_host)
+                )
+            return buckets[host], clocks[host]
+
+        for pdf in batches:
+            res = {f.name: [] for f in FETCH_RESULT_FIELDS}
+            for row in pdf.itertuples(index=False):
+                host = row.host
+                bucket, clk = bucket_for(host)
+                status, attempts, state, waited, body, caption, err = _fetch_one(
+                    fetcher, row.canonical_url, bucket, clk
+                )
+                seq = seqs.get(host, 0)
+                seqs[host] = seq + 1
+                res["status"].append(status)
+                res["attempts"].append(attempts)
+                res["state"].append(state)
+                res["wait_s"].append(waited)
+                res["dispatch_seq"].append(seq)
+                res["bytes"].append(body if state == "fetched" else None)
+                res["caption"].append(caption)
+                res["error"].append(err)
+            out = pd.DataFrame({"url_hash": pdf["url_hash"]})
+            for k, v in res.items():
+                out[k] = pd.Series(v, dtype=object) if k == "bytes" else v
+            yield out
+
+    slim = frontier.select("url_hash", "host", "canonical_url", order_col)
+    partitioned = slim.repartition(num_partitions, F.col("host")).sortWithinPartitions(
+        "host", order_col
+    )
+    results = partitioned.mapInPandas(run, slim_schema)
+    joined = frontier.join(results, on="url_hash", how="inner")
+    # restore the declared column order
+    return joined.select(*[f.name for f in out_schema.fields])

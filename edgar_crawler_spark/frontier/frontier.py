@@ -155,20 +155,24 @@ class CrawlFrontier:
         # 1) commit results (log + payload + seen) — BEFORE touching pending
         log_df = results.withColumn("wave", F.lit(wave_no)).drop("bytes")
         self.log.append(log_df, metrics={"wave": wave_no, "rows": n_dispatched})
-        payload_rows = fetched.select(
-            F.regexp_extract("canonical_url", r"/(\d{10}-\d{2}-\d{6})(?:-index\.html)?$", 1).alias(
-                "image_id"
-            ),
-            "bytes",
-            F.lit(None).cast("int").alias("w"),
-            F.lit(None).cast("int").alias("h"),
-            F.lit(None).cast("string").alias("fmt"),
-            "caption",
-            F.lit(None).cast("long").alias("phash"),
-        )
+        # decode + validate payloads in Arrow batches (input_hint: the
+        # payload table carries decoded dims, fmt and phash)
+        from edgar_crawler_spark.operators.multimodal import decode_and_validate
+
+        payload_rows = decode_and_validate(
+            fetched.select(
+                F.regexp_extract(
+                    "canonical_url", r"/(\d{10}-\d{2}-\d{6})(?:-index\.html)?$", 1
+                ).alias("image_id"),
+                "bytes",
+                "caption",
+            )
+        ).select("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "decode_ok")
         self.payload.append(payload_rows, lineage={"wave": wave_no})
         new_seen = fetched.select(
-            "url_hash", "canonical_url", F.lit(self.seen.current_version() + 1).alias("first_seen_version")
+            "url_hash",
+            "canonical_url",
+            F.lit(self.seen.current_version() + 1).cast("long").alias("first_seen_version"),
         )
         self.seen.append(new_seen, metrics={"wave": wave_no})
 
@@ -185,12 +189,25 @@ class CrawlFrontier:
         next_pending = deferred.select(pending_cols).unionByName(retry_rows)
         self.pending.overwrite(next_pending, metrics={"wave": wave_no})
 
+        # one job for all per-state counts (not three)
+        state_counts = {
+            r["st"]: r["n"]
+            for r in results.groupBy(
+                F.when(
+                    (F.col("state") == "retry")
+                    & (F.col("attempts_total") + 1 >= self.max_attempts),
+                    F.lit("failed"),
+                ).otherwise(F.col("state")).alias("st")
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
         m = {
             "wave": wave_no,
             "dispatched": n_dispatched,
-            "fetched": fetched.count(),
-            "retried": retry.count(),
-            "failed": failed.count(),
+            "fetched": state_counts.get("fetched", 0),
+            "retried": state_counts.get("retry", 0),
+            "failed": state_counts.get("failed", 0),
             "wall_s": wall,
             "urls_per_s": n_dispatched / wall if wall > 0 else 0.0,
         }

@@ -150,13 +150,18 @@ def average_hash(pixels: np.ndarray) -> int:
     bit = mean(block) > mean(all). Signed int64 for a LongType column."""
     g = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     h, w = g.shape
-    # integral-image block means over an 8×8 grid
+    # integral image → all 64 block means in one vectorized shot
+    s = np.zeros((h + 1, w + 1))
+    np.cumsum(np.cumsum(g, 0), 1, out=s[1:, 1:])
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = g[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    sums = (
+        s[ys[1:, None], xs[None, 1:]]
+        - s[ys[:-1, None], xs[None, 1:]]
+        - s[ys[1:, None], xs[None, :-1]]
+        + s[ys[:-1, None], xs[None, :-1]]
+    )
+    blocks = sums / np.outer(np.diff(ys), np.diff(xs))
     bits = (blocks > blocks.mean()).flatten()
     v = 0
     for bit in bits:

@@ -1,0 +1,161 @@
+"""Multimodal column operators: opaque ``binary`` payloads + typed
+metadata, processed through Arrow-batched ``mapInPandas`` only.
+
+Real here (no image libs needed): PNG/stand-in-lossy decode
+(functions/imaging.py), validation (decode → dims/format/aHash),
+nearest-neighbour resize (pure numpy indexing).
+
+STUBBED (container lacks codec libs — plumbing is real, kernel raises):
+JPEG/video/audio decode for foreign containers, frame sampling, audio
+feature extraction. Each stub validates schema and batch shape, then
+raises NotImplementedError with the library it needs — swap the kernel
+on a cluster with PIL/ffmpeg present.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+VALIDATED_SCHEMA_FIELDS = [
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("fmt", StringType()),
+    StructField("phash", LongType()),
+    StructField("decode_ok", StringType()),  # ok | <error class>
+]
+
+
+def decode_and_validate(
+    df: DataFrame, bytes_col: str = "bytes", num_partitions: int | None = None
+) -> DataFrame:
+    """Fill (w, h, fmt, phash, decode_ok) from the binary payload.
+    Input columns are passed through; decode failures are recorded per
+    row, never thrown (a poisoned blob must not kill a 100 TB job).
+
+    Explicit round-robin repartition in front of the Python stage: AQE
+    coalesces post-join shuffles by *byte size*, which strangles
+    CPU-bound pandas-UDF stages — an explicit repartition is exempt
+    from coalescing and pins the parallelism."""
+    passthrough = [f for f in df.schema.fields if f.name not in {x.name for x in VALIDATED_SCHEMA_FIELDS}]
+    out_schema = StructType(passthrough + VALIDATED_SCHEMA_FIELDS)
+    keep = [f.name for f in passthrough]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(num_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from edgar_crawler_spark.functions.imaging import average_hash, decode_image
+
+        for pdf in batches:
+            rows = {"w": [], "h": [], "fmt": [], "phash": [], "decode_ok": []}
+            for data in pdf[bytes_col]:
+                try:
+                    data = bytes(data)
+                    px = decode_image(data)
+                    rows["w"].append(px.shape[1])
+                    rows["h"].append(px.shape[0])
+                    rows["fmt"].append("png" if data[:4] == b"\x89PNG"[:4] else "jpeg")
+                    rows["phash"].append(average_hash(px))
+                    rows["decode_ok"].append("ok")
+                except Exception as e:
+                    rows["w"].append(None)
+                    rows["h"].append(None)
+                    rows["fmt"].append(None)
+                    rows["phash"].append(None)
+                    rows["decode_ok"].append(type(e).__name__)
+            out = pdf[keep].copy()
+            for k, v in rows.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_images(df: DataFrame, w: int, h: int, bytes_col: str = "bytes") -> DataFrame:
+    """Nearest-neighbour resize, re-encoded as PNG — a real kernel
+    (numpy indexing), shaped like any decode→transform→encode stage."""
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != "resized"]
+        + [StructField("resized", BinaryType())]
+    )
+    keep = [f.name for f in df.schema.fields if f.name != "resized"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from edgar_crawler_spark.functions.imaging import decode_image, encode_png
+
+        for pdf in batches:
+            resized = []
+            for data in pdf[bytes_col]:
+                px = decode_image(bytes(data))
+                ys = (np.arange(h) * px.shape[0]) // h
+                xs = (np.arange(w) * px.shape[1]) // w
+                resized.append(encode_png(px[ys][:, xs]))
+            out = pdf[keep].copy()
+            out["resized"] = pd.Series(resized, dtype=object)
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+# --------------------------------------------------------------------------
+# stubs: schema/batch plumbing real, kernels need external codecs
+# --------------------------------------------------------------------------
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_png", BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 30, bytes_col: str = "bytes") -> DataFrame:
+    """STUB: video → every-Nth-frame PNGs. Partitioning and output
+    schema are the real design; the decode kernel needs ffmpeg/pyav."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                raise NotImplementedError(
+                    "video decode requires ffmpeg/pyav (absent in this container); "
+                    f"would emit one row per {every_n}th frame of {bytes_col}"
+                )
+            yield pd.DataFrame(columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
+
+    return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("duration_s", IntegerType()),
+        StructField("n_windows", IntegerType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """STUB: audio → windowed features. Kernel needs libsndfile/soundfile."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                raise NotImplementedError(
+                    "audio decode requires libsndfile (absent in this container)"
+                )
+            yield pd.DataFrame(columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
