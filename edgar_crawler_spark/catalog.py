@@ -752,6 +752,38 @@ GROUP BY n_name
 
 
 # --------------------------------------------------------------------------
+# extraction engine (rows-only: the T1-T14 kernel is not SQL-expressible;
+# byte-exact parity is asserted against the reference's golden fixtures in
+# tests/test_extract_golden.py + tools/golden_check.py: 553/553)
+# --------------------------------------------------------------------------
+
+def q_extract_items_long(spark, sf):
+    from edgar_crawler_spark.extract.spark_extract import extract_records, items_long
+    from edgar_crawler_spark.fixtures.raw_documents import raw_documents_df
+
+    raw = raw_documents_df(spark, 24)
+    return (
+        items_long(extract_records(raw))
+        .groupBy("filing_type", "item_key")
+        .agg(F.count("*").alias("n"), F.sum(F.length("item_text")).alias("chars"))
+    )
+
+
+def q_extract_records(spark, sf):
+    from edgar_crawler_spark.extract.spark_extract import extract_records
+    from edgar_crawler_spark.fixtures.raw_documents import raw_documents_df
+
+    raw = raw_documents_df(spark, 24)
+    recs = extract_records(raw)
+    return recs.select(
+        "filename",
+        "filing_type",
+        F.size("items").alias("n_items"),
+        F.col("error").isNull().alias("ok"),
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -787,6 +819,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality_score": (q_text_quality, SQL_TEXT_QUALITY),
     "text_lang_id": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "extract_items_long": (q_extract_items_long, None),
+    "extract_records": (q_extract_records, None),
     "ev_tumbling_hourly": (q_ev_tumbling_hourly, SQL_EV_TUMBLING),
     "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
     "ev_json_props": (q_ev_json_props, SQL_EV_JSON),

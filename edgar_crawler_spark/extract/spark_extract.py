@@ -1,0 +1,91 @@
+"""Distributed extraction: the T1–T14 kernel as one Arrow-batched
+``mapInPandas`` stage (the reference's ProcessPool(1) map,
+extract_items.py:1252-1262, becomes partition-parallel).
+
+Input: a DataFrame of raw filings
+    (filename, filing_type, content string + the 14 metadata columns)
+Outputs:
+  * ``extract_records``  — one row per filing with an ``items``
+    map<string,string> column (the per-filing JSON record)
+  * ``extract_items_long`` — exploded long form (filename, item_key,
+    item_text): the SQL-checkable shape (SURVEY.md §1.3).
+
+Scale notes: content strings are the payload — explicit round-robin
+repartition pins parallelism for the CPU-bound Python stage (AQE
+byte-size coalescing would strangle it), and the long form is derived
+JVM-side by explode(map) so item text is shuffled at most once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import MapType, StringType, StructField, StructType
+
+RECORD_SCHEMA = StructType(
+    [
+        StructField("filename", StringType()),
+        StructField("filing_type", StringType()),
+        StructField("items", MapType(StringType(), StringType())),
+        StructField("error", StringType()),
+    ]
+)
+
+METADATA_COLS = [
+    "CIK", "Company", "Type", "Date", "Period of Report", "SIC",
+    "State of Inc", "State location", "Fiscal Year End", "html_index",
+    "htm_file_link", "complete_text_file_link", "filename",
+]
+
+
+def extract_records(
+    raw: DataFrame,
+    items_to_extract: list[str] | None = None,
+    remove_tables: bool = True,
+    include_signature: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Run the extraction kernel over (content + metadata) rows."""
+    if num_partitions is None:
+        num_partitions = raw.sparkSession.sparkContext.defaultParallelism * 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        from edgar_crawler_spark.extract.extractor import extract_filing
+
+        sys.setrecursionlimit(30000)  # deep HTML (extract_items.py:22)
+        for pdf in batches:
+            out = {"filename": [], "filing_type": [], "items": [], "error": []}
+            for row in pdf.to_dict("records"):
+                md = {c: row.get(c) for c in METADATA_COLS}
+                try:
+                    rec = extract_filing(
+                        row["content"],
+                        md,
+                        items_to_extract=items_to_extract,
+                        remove_tables=remove_tables,
+                        include_signature=include_signature,
+                    )
+                    out["items"].append(rec if rec is not None else None)
+                    out["error"].append(None if rec is not None else "all_items_null")
+                except Exception as e:  # poisoned doc must not kill the job
+                    out["items"].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}"[:500])
+                out["filename"].append(row.get("filename"))
+                out["filing_type"].append(row.get("Type"))
+            yield pd.DataFrame(out)
+
+    return raw.repartition(num_partitions).mapInPandas(run, RECORD_SCHEMA)
+
+
+def items_long(records: DataFrame) -> DataFrame:
+    """(filename, filing_type, item_key, item_text) long form."""
+    return records.filter(F.col("items").isNotNull()).select(
+        "filename",
+        "filing_type",
+        F.explode("items").alias("item_key", "item_text"),
+    )
