@@ -427,9 +427,13 @@ sigs AS (
 banded AS (
   SELECT doc_id, seed // 2 AS band,
          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
-  FROM sigs GROUP BY doc_id, seed // 2)
+  FROM sigs GROUP BY doc_id, seed // 2),
+capped AS (
+  SELECT * FROM banded
+  WHERE (band, band_key) IN (
+    SELECT (band, band_key) FROM banded GROUP BY band, band_key HAVING COUNT(*) <= 64))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 """
 

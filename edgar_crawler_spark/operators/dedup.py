@@ -29,9 +29,16 @@ SIMHASH_BITS = 32
 
 
 def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, tok) — distinct whitespace tokens per document."""
+    """(doc_id, tok) — distinct whitespace tokens per document.
+
+    Explicit repartition before the explode: the documents scan is
+    often a single small file (1 task), but the exploded token stream
+    is 10-100× larger — fan out BEFORE the multiplication, not after.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        docs.repartition(par)
+        .select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .dropDuplicates(["doc_id", "tok"])
     )
@@ -63,10 +70,25 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+LSH_BUCKET_CAP = 64
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: docs sharing any
     band (a group of k/bands consecutive minhashes) become a pair.
-    Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    Returns distinct (doc_a, doc_b), doc_a < doc_b.
+
+    ``bucket_cap`` drops band buckets holding more than that many docs
+    before the self-join — the standard production guard against the
+    quadratic blowup of degenerate buckets (a bucket of 10^5 docs is
+    10^10 pairs and carries almost no signal). The cap is explicit and
+    mirrored in the DuckDB oracle, not silent.
+    """
     sigs = minhash_signatures(docs, k)
     rows_per_band = k // bands
     banded = (
@@ -84,8 +106,14 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BAND
             ).alias("band_key")
         )
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    bucket_sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("__sz"))
+    capped = banded.join(
+        bucket_sizes.filter(F.col("__sz") <= bucket_cap).drop("__sz"),
+        on=["band", "band_key"],
+        how="left_semi",
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
         a.join(b, on=["band", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -1,0 +1,68 @@
+"""Structured Streaming front-end for the crawl frontier.
+
+The reference is pure batch; the engine's streaming analogue
+(SURVEY.md §2.7 note) is: new seed files arrive → each micro-batch is
+admitted to the frontier (canonicalize → anti-join seen) and crawled
+to drain. ``Trigger.AvailableNow`` + checkpoint gives exactly-once
+admission over seed files; the frontier's own snapshot tables make the
+crawl side idempotent (re-admitted URLs anti-join away), so the
+combination is crash-safe end-to-end.
+
+Also provides the windowed-aggregation shape (tumbling event counts
+with watermark) to document the engine's late-data posture — the batch
+catalog checks the same semantics against DuckDB (ev_tumbling_hourly).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from edgar_crawler_spark.frontier.frontier import CrawlFrontier
+
+
+def run_streaming_crawl(
+    spark: SparkSession,
+    seed_dir: str,
+    seed_schema: StructType,
+    workdir: str,
+    checkpoint_dir: str,
+    **frontier_kwargs,
+) -> CrawlFrontier:
+    """Drain all currently-available seed files through the frontier.
+
+    Each micro-batch: submit (dedup vs seen + pending) → run waves to
+    drain. Returns the frontier for inspection. Subsequent calls with
+    the same checkpoint only process NEW seed files (source offsets),
+    and re-delivered rows are dropped by the seen anti-join anyway.
+    """
+    fr = CrawlFrontier(spark, workdir, **frontier_kwargs)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        admitted = fr.submit(batch)
+        if admitted:
+            fr.run()
+
+    stream = spark.readStream.schema(seed_schema).parquet(seed_dir)
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fr
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour event counts with late-data watermark — the
+    streaming form of the catalog's ev_tumbling_hourly."""
+    # watermarks require TIMESTAMP (tz-aware); parquet NTZ is cast
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n")
+    )
