@@ -148,6 +148,7 @@ def fetch_wave(
     virtual_clock: bool = True,
     order_col: str = "host_rank",
     num_partitions: int | None = None,
+    robots_fetcher=None,
 ) -> DataFrame:
     """Dispatch one wave. Input must carry host + host_rank (from
     with_priority). Output = input columns + FETCH_RESULT_FIELDS.
@@ -173,9 +174,15 @@ def fetch_wave(
     )
 
     def run(batches):
+        from edgar_crawler_spark.frontier.politeness import RobotsGate
+
         buckets: dict[str, object] = {}
         clocks: dict[str, object] = {}
         seqs: dict[str, int] = {}
+        # robots cache is per-host and hosts are partition-local, so
+        # the gate needs no coordination (north_rule adds robots; the
+        # reference has none — download_filings.py requests blindly)
+        gate = RobotsGate(robots_fetcher) if robots_fetcher is not None else None
 
         def bucket_for(host: str):
             if host not in buckets:
@@ -192,6 +199,18 @@ def fetch_wave(
             res = {f.name: [] for f in FETCH_RESULT_FIELDS}
             for row in pdf.itertuples(index=False):
                 host = row.host
+                if gate is not None:
+                    path = row.canonical_url.split("/", 3)[-1]
+                    if not gate.allowed(host, "/" + path):
+                        seq = seqs.get(host, 0)
+                        seqs[host] = seq + 1
+                        for key, val in (
+                            ("status", -403), ("attempts", 0), ("state", "failed"),
+                            ("wait_s", 0.0), ("dispatch_seq", seq), ("bytes", None),
+                            ("caption", None), ("error", "robots_disallowed"),
+                        ):
+                            res[key].append(val)
+                        continue
                 bucket, clk = bucket_for(host)
                 status, attempts, state, waited, body, caption, err = _fetch_one(
                     fetcher, row.canonical_url, bucket, clk
