@@ -537,6 +537,38 @@ WHERE rnk <= 5
 """
 
 
+def q_ann_ivf(spark, sf):
+    return similarity.ivf_topk(t(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+def _ivf_sql() -> str:
+    cents = similarity.ivf_centroids(8, 64)
+    arrs = ["[" + ", ".join(f"{float(x):.1f}" for x in c) + "]::DOUBLE[]" for c in cents]
+    dots = [f"list_inner_product(v, {a})" for a in arrs]
+    best = "GREATEST(" + ", ".join(dots) + ")"
+    cell = "CASE " + " ".join(
+        f"WHEN {dots[j]} = {best} THEN {j}" for j in range(len(dots) - 1)
+    ) + f" ELSE {len(dots) - 1} END"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ec AS (SELECT vec_id, v, {cell} AS cell FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, cell FROM ec
+      WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_inner_product(qv, c.v) /
+           (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+  FROM q JOIN ec c USING (cell) WHERE query_id != c.vec_id)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, ROUND(cos, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+"""
+
+
+SQL_ANN_IVF = _ivf_sql()
+
+
 def q_emb_near_dup(spark, sf):
     return similarity.embedding_near_dup_pairs(t(spark, sf, "embeddings"), threshold=0.25)
 
@@ -818,6 +850,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "ann_bruteforce_topk": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
     "emb_near_dup_pairs": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_quality_score": (q_text_quality, SQL_TEXT_QUALITY),

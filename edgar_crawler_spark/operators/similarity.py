@@ -103,6 +103,61 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_centroids(n_cells: int, dim: int) -> list[list[int]]:
+    """Deterministic integer coarse centroids (pure index arithmetic —
+    a trained k-means would slot in identically; only direction
+    matters for assignment)."""
+    return [
+        [((d * (c + 2) + 11 * c + d // 5) % 7) - 3 for d in range(dim)]
+        for c in range(n_cells)
+    ]
+
+
+def _cell_col(vec: Column, cents: list[list[int]]) -> Column:
+    """argmax_c dot(v, centroid_c); ties → lowest cell index."""
+    dots = [
+        _dot(vec, F.array(*[F.lit(float(x)) for x in c])) for c in cents
+    ]
+    best = F.greatest(*dots)
+    cell = F.lit(len(cents) - 1).cast("int")
+    for j in range(len(cents) - 2, -1, -1):
+        cell = F.when(dots[j] == best, F.lit(j)).otherwise(cell)
+    return cell
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    centroid cell; a query probes only its own cell (nprobe=1). At
+    scale the cell id is the shuffle/bucketing key — the cross join
+    becomes a key-equality join, exactly like the LSH path but with a
+    learned/structured quantizer. Same output shape as
+    brute_force_topk."""
+    cents = ivf_centroids(n_cells, dim)
+    withc = emb.withColumn("cell", _cell_col(F.col(vec_col), cents))
+    q = withc.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+    )
+    c = withc.select(F.col("vec_id").alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
+    scored = (
+        q.join(c, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos", 4).alias("cos"))
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, n_planes: int = 4, dim: int = 64
 ) -> DataFrame:

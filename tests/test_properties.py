@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the pure kernels: invariants
+that must hold on arbitrary inputs, not just fixtures."""
+
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from edgar_crawler_spark.functions.imaging import (
+    average_hash,
+    decode_image,
+    encode_image,
+    psnr,
+)
+from edgar_crawler_spark.functions.textclean import (
+    clean_text,
+    remove_multiple_lines,
+    strip_html,
+)
+from edgar_crawler_spark.operators.hashing import h48_py
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_remove_multiple_lines_normal_form(s):
+    out = remove_multiple_lines(s)
+    # no blank-line runs, no double spaces, fully trimmed
+    assert "\n\n" not in out
+    assert "  " not in out
+    assert out == out.strip()
+    # idempotent on its own output... modulo the #NEWLINE token trick
+    if "#NEWLINE" not in s:
+        assert remove_multiple_lines(out) == out
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_clean_text_stable_charset(s):
+    out = clean_text(s)
+    # canonicalized characters never reappear
+    assert not re.search(r"[\xa0​–—‐]", out)
+    # second application only changes via line-structure rules; the
+    # char-substitution layer is idempotent
+    assert clean_text(out) == clean_text(clean_text(out))
+
+
+@given(st.text(alphabet="abc<>/ديv ", max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_strip_html_never_throws_and_strips_tags(s):
+    out = strip_html(s)
+    assert "<div>" not in out
+
+
+@given(st.text(max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_h48_range_and_determinism(s):
+    v = h48_py(s)
+    assert 0 <= v < 2**48
+    assert v == h48_py(s)
+
+
+@given(st.integers(0, 10_000), st.sampled_from(["png", "jpeg"]))
+@settings(max_examples=50, deadline=None)
+def test_codec_roundtrip_properties(seed, fmt):
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_image(encode_image(px, fmt))
+    assert out.shape == px.shape
+    if fmt == "png":
+        assert np.array_equal(out, px)
+    else:
+        assert psnr(px, out) >= 40.0
+    assert -(2**63) <= average_hash(out) < 2**63
+
+
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_bloom_positions_no_false_negatives(hashes):
+    """Pure-numpy check of the Bloom bit math used by seen.py."""
+    from edgar_crawler_spark.frontier.seen import _params, _positions
+
+    arr = np.array(hashes, dtype=np.int64)
+    m, k = _params(len(arr), 0.01)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    pos = _positions(arr, m, k).ravel()
+    np.bitwise_or.at(bits, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8))
+    chk = _positions(arr, m, k)
+    hit = (bits[(chk >> 3).astype(np.int64)] >> (chk & 7).astype(np.uint8)) & 1
+    assert hit.all()
