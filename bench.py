@@ -42,7 +42,7 @@ HEADLINE = [
     "ev_tumbling_hourly",
 ]
 
-FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "20000"))
+FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "100000"))
 
 
 def bench_frontier(spark, n: int) -> dict:

@@ -116,7 +116,9 @@ class CrawlFrontier:
     def step(self) -> dict | None:
         """Run one wave; returns its metrics dict, or None if drained."""
         pending = self.pending.read(self.spark)
-        if pending is None:
+        if pending is None or pending.isEmpty():
+            # cheap limit-1 probe: a drained frontier costs one tiny
+            # job, not a full (empty) fetch wave
             return None
         # re-filter vs seen: makes crash-recovery idempotent
         seen_df = self.seen.read(self.spark)
