@@ -453,6 +453,30 @@ FROM bits GROUP BY doc_id
 """
 
 
+def q_dedup_simhash_pairs(spark, sf):
+    return dedup.simhash_near_dup_pairs(t(spark, sf, "documents"), max_hamming=6)
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH {_SQL_TOKS},
+h AS (SELECT doc_id, {h48_sql("tok")} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN generate_series(0, 31) AS g(b) GROUP BY doc_id, b),
+sims AS (
+  SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM bits GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS byteval
+  FROM sims CROSS JOIN generate_series(0, 3) AS g(j))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b ON a.j = b.j AND a.byteval = b.byteval
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
 def q_dedup_jaccard(spark, sf):
     return dedup.ngram_jaccard_pairs(t(spark, sf, "documents"), threshold=0.6)
 
@@ -847,6 +871,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_signatures": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_near_dup_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "ann_bruteforce_topk": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),

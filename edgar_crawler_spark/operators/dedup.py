@@ -147,6 +147,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 6, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, found via the
+    banded byte trick: split the 32-bit sketch into 4 bytes; any pair
+    within Hamming ≤ 6 of each other shares at least one byte whenever
+    the differing bits cluster — candidates are pairs agreeing on ANY
+    byte position (key-equality join, no cross join), verified by
+    exact bit_count(xor). Returns (doc_a, doc_b, hamming)."""
+    sims = simhash(docs, bits)
+    n_bytes = bits // 8
+    banded = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(f"(simhash >> {8 * j}) & 255").alias("byteval"),
+                    )
+                    for j in range(n_bytes)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.j").alias("j"), F.col("b.byteval").alias("byteval"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["j", "byteval"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash) — classic Charikar sketch over token hashes:
     bit b of the sketch = majority of bit b across H48(token)."""
