@@ -64,6 +64,20 @@ class Node:
             self.parent.children.remove(self)
             self.parent = None
 
+    @property
+    def next_sibling(self) -> "Node | None":
+        if self.parent is None:
+            return None
+        sibs = self.parent.children
+        i = sibs.index(self)
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    def next_element_sibling(self) -> "Element | None":
+        n = self.next_sibling
+        while n is not None and not isinstance(n, Element):
+            n = n.next_sibling
+        return n
+
 
 class Text(Node):
     __slots__ = ("data", "parent")
@@ -131,13 +145,25 @@ class Element(Node):
         return False
 
     # ---- queries -----------------------------------------------------------
-    def find_all(self, tag: str, with_attr: str | None = None) -> list["Element"]:
+    def find_all(
+        self,
+        tag: str,
+        with_attr: str | None = None,
+        class_in: list[str] | None = None,
+    ) -> list["Element"]:
         out: list[Element] = []
         stack: list[Node] = list(reversed(self.children))
         while stack:
             n = stack.pop()
             if isinstance(n, Element):
-                if n.tag == tag and (with_attr is None or with_attr in n.attrs):
+                if (
+                    n.tag == tag
+                    and (with_attr is None or with_attr in n.attrs)
+                    and (
+                        class_in is None
+                        or any(c in class_in for c in n.attrs.get("class", "").split())
+                    )
+                ):
                     out.append(n)
                 stack.extend(reversed(n.children))
         return out
