@@ -237,6 +237,29 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 # §2.4 union / ordering / windows / aggregation
 # --------------------------------------------------------------------------
 
+def q_j_salted_skew_join(spark, sf):
+    """Skew strategy: salted join result must equal the plain join —
+    the oracle runs the unsalted SQL (operators/skew.py)."""
+    from edgar_crawler_spark.operators.skew import salted_join
+
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), o, "o_orderkey", salt_buckets=8
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), cents(F.sum("l_extendedprice")).alias("price_cents")
+    )
+
+
+SQL_J_SALTED = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS price_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_a1_union(spark, sf):
     """A1: pd.concat → UNION ALL (download_filings.py:458-461)."""
     o = t(spark, sf, "orders")
@@ -860,6 +883,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "j2_anti_join_dedup": (q_j2_anti_join, SQL_J2),
     "j3_existence_semi_join": (q_j3_semi_join, SQL_J3),
     "j5_extract_skip_anti_join": (q_j5_extract_skip, SQL_J5),
+    "j_salted_skew_join": (q_j_salted_skew_join, SQL_J_SALTED),
     "a1_union_all": (q_a1_union, SQL_A1),
     "a2_global_crawl_order": (q_a2_global_order, SQL_A2),
     "a3_per_host_rank": (q_a3_per_host_rank, SQL_A3),
