@@ -237,3 +237,32 @@ class CrawlFrontier:
 
     def seen_set(self) -> DataFrame | None:
         return self.seen.read(self.spark)
+
+    def metrics_df(self) -> DataFrame:
+        """Per-wave fetch/dedup metrics as a DataFrame (north_rule:
+        lineage + metrics). Commit-level lineage lives in each table's
+        snapshot manifests (SnapshotTable.history()); per-partition
+        detail lives in the fetch log (host, dispatch_seq, wait_s)."""
+        rows = [
+            {
+                "wave": m["wave"],
+                "dispatched": m["dispatched"],
+                "fetched": m["fetched"],
+                "retried": m["retried"],
+                "failed": m["failed"],
+                "wall_s": float(m["wall_s"]),
+                "urls_per_s": float(m["urls_per_s"]),
+            }
+            for m in self.metrics
+        ]
+        schema = (
+            "wave int, dispatched long, fetched long, retried long, "
+            "failed long, wall_s double, urls_per_s double"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def compact(self, target_partitions: int | None = None) -> None:
+        """Fold accumulated per-wave appends in seen/log/payload into
+        single-dir snapshots (scan-planning hygiene for long crawls)."""
+        for table in (self.seen, self.log, self.payload):
+            table.compact(self.spark, target_partitions)

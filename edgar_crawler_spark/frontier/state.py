@@ -104,6 +104,19 @@ class SnapshotTable:
         df = self.read(spark, version)
         return df if df is not None else spark.createDataFrame([], schema)
 
+    def compact(self, spark: SparkSession, target_partitions: int | None = None) -> int:
+        """Rewrite the table to one data dir (an OPTIMIZE/rewrite-files
+        commit): at 10^10 scale a seen-table accumulating one appended
+        dir per wave degrades scan planning — compaction folds N dirs
+        into one without changing snapshot semantics (history keeps the
+        old manifests)."""
+        df = self.read(spark)
+        if df is None:
+            return self.current_version()
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        return self.overwrite(df, metrics={"compaction": True})
+
     def history(self) -> list[dict]:
         out, v = [], self.current_version()
         while v:
