@@ -698,6 +698,44 @@ FROM f
 """
 
 
+def q_text_winnowing(spark, sf):
+    return text.winnowing_fingerprints(t(spark, sf, "documents"), k=8, window=4)
+
+
+SQL_TEXT_WINNOWING = f"""
+WITH grams AS (
+  SELECT doc_id, pos, {h48_sql("substring(text, CAST(pos AS INT), 8)")} AS h
+  FROM documents CROSS JOIN generate_series(1, 100000) AS g(pos)
+  WHERE pos <= length(text) - 8 + 1),
+winmin AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM grams)
+SELECT DISTINCT doc_id, fp FROM winmin
+"""
+
+
+def q_text_tfidf(spark, sf):
+    return text.tfidf_top_terms(t(spark, sf, "documents"), top=3)
+
+
+SQL_TEXT_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+dfc AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.tok, ROUND(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfc ON tf.tok = dfc.tok CROSS JOIN n)
+SELECT doc_id, tok, CAST(rnk AS INT) AS rnk, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+  FROM scored)
+WHERE rnk <= 3
+"""
+
+
 def q_text_fingerprint(spark, sf):
     return text.fingerprint(t(spark, sf, "documents"))
 
@@ -905,6 +943,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality_score": (q_text_quality, SQL_TEXT_QUALITY),
     "text_lang_id": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_winnowing_fingerprints": (q_text_winnowing, SQL_TEXT_WINNOWING),
+    "text_tfidf_top_terms": (q_text_tfidf, SQL_TEXT_TFIDF),
     "extract_items_long": (q_extract_items_long, None),
     "extract_records": (q_extract_records, None),
     "ev_tumbling_hourly": (q_ev_tumbling_hourly, SQL_EV_TUMBLING),

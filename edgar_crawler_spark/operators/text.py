@@ -85,6 +85,63 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 8, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every k-gram, slide a window of ``window`` consecutive hashes,
+    keep each window's minimum, dedup. Robust local fingerprints for
+    plagiarism/near-dup detection.
+
+    All stages are standard primitives: k-gram generation is a
+    JVM-side transform over a position sequence, the sliding minimum
+    is a window frame, selection is a distinct. Returns
+    (doc_id, fp) — one row per selected fingerprint."""
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - k + 1, F.lit(0))
+    grams = (
+        docs.filter(n_grams > 0)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"), t.alias("__t"))
+        .select("doc_id", "pos", F.expr(f"substring(__t, pos, {k})").alias("gram"))
+        .withColumn("h", h48_col(F.col("gram")))
+        .drop("gram")
+    )
+    from pyspark.sql import Window as W
+
+    frame = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(frame))
+        .select("doc_id", "fp")
+        .dropDuplicates()
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, top: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-N terms per document by tf·idf (idf = ln((1+N)/(1+df))+1,
+    smooth). Pure groupBy/join/window pipeline. Returns
+    (doc_id, tok, rnk, tfidf)."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # driver scalar: one cheap job, folded as a literal
+    scored = tf.join(df_counts, "tok").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0), 6),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top)
+        .select("doc_id", "tok", "rnk", "tfidf")
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return docs.select(
