@@ -413,6 +413,22 @@ SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5, COUNT(*) AS dup_count
 FROM documents GROUP BY md5(text)
 """
 
+def q_dedup_exact_with_dups(spark, sf):
+    """Exact dedup must actually merge: duplicate every doc (shifted
+    ids) and verify representative = min id, dup_count = 2."""
+    d = t(spark, sf, "documents")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return dedup.exact_dedup(doubled)
+
+
+SQL_DEDUP_EXACT_DUPS = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5, COUNT(*) AS dup_count
+FROM doubled GROUP BY md5(text)
+"""
+
 _SQL_TOKS = """
 toks AS (
   SELECT DISTINCT doc_id, tok FROM (
@@ -930,6 +946,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "t3_collapse_whitespace": (q_t3_collapse_whitespace, SQL_T3),
     "t13_type_dispatch": (q_t13_dispatch, SQL_T13),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_exact_with_dups": (q_dedup_exact_with_dups, SQL_DEDUP_EXACT_DUPS),
     "dedup_minhash_signatures": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
