@@ -444,12 +444,22 @@ def q_dedup_minhash_sig(spark, sf):
     )
 
 
+# Carter-Wegman permutations of the base hash (operators/dedup.py):
+# perm_i(h) = ((2i+3)·h + 7i+1) mod (2^61 - 1)
+_MINHASH_P = (1 << 61) - 1
+_SQL_MINHASH_SIGS = f"""
+h AS (SELECT doc_id, {h48_sql("tok")} AS h FROM toks),
+sigs AS (
+  SELECT doc_id, seed,
+         MIN(((2 * seed + 3) * h + (7 * seed + 1)) % {_MINHASH_P}) AS minhash
+  FROM h CROSS JOIN generate_series(0, 7) AS g(seed)
+  GROUP BY doc_id, seed)
+"""
+
 SQL_DEDUP_MINHASH_SIG = f"""
 WITH {_SQL_TOKS},
-seeded AS (SELECT doc_id, seed, tok FROM toks CROSS JOIN generate_series(0, 7) AS g(seed))
-SELECT doc_id, CAST(seed AS BIGINT) AS seed,
-       MIN({h48_sql("tok || '#' || CAST(seed AS VARCHAR)")}) AS minhash
-FROM seeded GROUP BY doc_id, seed
+{_SQL_MINHASH_SIGS}
+SELECT doc_id, CAST(seed AS BIGINT) AS seed, minhash FROM sigs
 """
 
 
@@ -459,10 +469,7 @@ def q_dedup_minhash_lsh(spark, sf):
 
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH {_SQL_TOKS},
-seeded AS (SELECT doc_id, seed, tok FROM toks CROSS JOIN generate_series(0, 7) AS g(seed)),
-sigs AS (
-  SELECT doc_id, seed, MIN({h48_sql("tok || '#' || CAST(seed AS VARCHAR)")}) AS minhash
-  FROM seeded GROUP BY doc_id, seed),
+{_SQL_MINHASH_SIGS},
 banded AS (
   SELECT doc_id, seed // 2 AS band,
          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key

@@ -55,19 +55,41 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Carter-Wegman permutation family over the base hash: permutation i
+# is (a_i·h + b_i) mod p with p Mersenne-61. h < 2^48 and a_i < 2^13
+# keep the product inside signed-64 — no overflow in either engine.
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    return [(2 * i + 3, 7 * i + 1) for i in range(k)]
+
+
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, seed, minhash) — k independent min-hashes per doc.
-    Permutation i = H48(token || '#' || i): one explode, one groupBy."""
-    toks = tokens(docs)
-    seeded = toks.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"), "tok"
+    ONE md5 per token (the base H48) and k affine permutations
+    computed as k aggregate expressions in a single map-side-combined
+    groupBy — the token stream is never multiplied by k; the unpivot
+    to long form happens on one row per doc."""
+    toks = tokens(docs).withColumn("h", h48_col(F.col("tok")))
+    coeffs = minhash_coeffs(k)
+    wide = toks.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
-    h = h48_col(F.concat(F.col("tok"), F.lit("#"), F.col("seed").cast("string")))
-    return (
-        seeded.withColumn("h", h)
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    return wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("seed"), F.col(f"m{i}").alias("minhash"))
+                    for i in range(k)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.seed").cast("int").alias("seed"), F.col("s.minhash").alias("minhash"))
 
 
 LSH_BUCKET_CAP = 64
@@ -190,26 +212,21 @@ def simhash_near_dup_pairs(
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash) — classic Charikar sketch over token hashes:
-    bit b of the sketch = majority of bit b across H48(token)."""
+    bit b of the sketch = majority of bit b across H48(token).
+
+    The 32 bit-votes are 32 aggregate expressions in ONE groupBy (with
+    map-side combine) rather than a 32-way explode of the token stream
+    — 32× less shuffle."""
     toks = tokens(docs).withColumn("h", h48_col(F.col("tok")))
-    unpivoted = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        "h",
-    ).withColumn(
-        # shiftright() builtin only takes a literal shift; the SQL >>
-        # operator accepts a column
-        "vote", F.expr("((h >> b) & 1) * 2 - 1")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    return (
-        unpivoted.groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    sketch = F.lit(0).cast("long")
+    for b in range(bits):
+        sketch = sketch + F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", sketch.alias("simhash"))
