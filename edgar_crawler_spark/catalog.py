@@ -484,6 +484,39 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_dedup_minhash_lsh_shingle(spark, sf):
+    """shingle→minhash→band→bucket-join: char-8-gram front-end."""
+    from edgar_crawler_spark.operators.dedup import shingles
+
+    return dedup.minhash_lsh_pairs(t(spark, sf, "documents"), tokenizer=shingles)
+
+
+_SQL_SHINGLES = """
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, substring(text, CAST(pos AS INT), 8) AS tok
+    FROM documents CROSS JOIN generate_series(1, 100000) AS g(pos)
+    WHERE pos <= length(text) - 8 + 1)
+)
+"""
+
+SQL_DEDUP_MINHASH_LSH_SHINGLE = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_MINHASH_SIGS},
+banded AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, seed // 2),
+capped AS (
+  SELECT * FROM banded
+  WHERE (band, band_key) IN (
+    SELECT (band, band_key) FROM banded GROUP BY band, band_key HAVING COUNT(*) <= 64))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
 def q_dedup_simhash(spark, sf):
     return dedup.simhash(t(spark, sf, "documents"))
 
@@ -956,6 +989,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact_with_dups": (q_dedup_exact_with_dups, SQL_DEDUP_EXACT_DUPS),
     "dedup_minhash_signatures": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_minhash_lsh_shingle_pairs": (q_dedup_minhash_lsh_shingle, SQL_DEDUP_MINHASH_LSH_SHINGLE),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_near_dup_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),

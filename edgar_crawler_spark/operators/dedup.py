@@ -44,6 +44,22 @@ def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def shingles(docs: DataFrame, k: int = 8, text_col: str = "text") -> DataFrame:
+    """(doc_id, tok) — distinct character k-gram shingles per doc
+    (the shingling front-end of shingle→minhash→band→bucket-join).
+    Generated JVM-side: explode over a position sequence + substring."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    t = F.col(text_col)
+    n = F.greatest(F.length(t) - k + 1, F.lit(0))
+    return (
+        docs.repartition(par)
+        .filter(n > 0)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), n)).alias("pos"), t.alias("__t"))
+        .select("doc_id", F.expr(f"substring(__t, pos, {k})").alias("tok"))
+        .dropDuplicates(["doc_id", "tok"])
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: representative = min doc_id per
     md5(text). Returns (doc_id, text_md5, dup_count)."""
@@ -65,13 +81,16 @@ def minhash_coeffs(k: int) -> list[tuple[int, int]]:
     return [(2 * i + 3, 7 * i + 1) for i in range(k)]
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = MINHASH_K, tokenizer=tokens
+) -> DataFrame:
     """(doc_id, seed, minhash) — k independent min-hashes per doc.
     ONE md5 per token (the base H48) and k affine permutations
     computed as k aggregate expressions in a single map-side-combined
     groupBy — the token stream is never multiplied by k; the unpivot
-    to long form happens on one row per doc."""
-    toks = tokens(docs).withColumn("h", h48_col(F.col("tok")))
+    to long form happens on one row per doc. ``tokenizer`` selects the
+    feature front-end (whitespace tokens or char shingles)."""
+    toks = tokenizer(docs).withColumn("h", h48_col(F.col("tok")))
     coeffs = minhash_coeffs(k)
     wide = toks.groupBy("doc_id").agg(
         *[
@@ -100,6 +119,7 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     bucket_cap: int = LSH_BUCKET_CAP,
+    tokenizer=tokens,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: docs sharing any
     band (a group of k/bands consecutive minhashes) become a pair.
@@ -111,7 +131,7 @@ def minhash_lsh_pairs(
     10^10 pairs and carries almost no signal). The cap is explicit and
     mirrored in the DuckDB oracle, not silent.
     """
-    sigs = minhash_signatures(docs, k)
+    sigs = minhash_signatures(docs, k, tokenizer=tokenizer)
     rows_per_band = k // bands
     banded = (
         sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
