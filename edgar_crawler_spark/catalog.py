@@ -363,6 +363,77 @@ WHERE r = 1
 """
 
 
+def q_tpch_q3_shape(spark, sf):
+    """Multi-join + top-k (TPC-H Q3 shape): Catalyst picks join order,
+    the dim side broadcasts, top-k is a sort-limit."""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1995-03-15")))
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        cents(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents")
+    )
+    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("rnk", "l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"), "revenue_cents")
+    )
+
+
+SQL_TPCH_Q3 = """
+WITH agg AS (
+  SELECT l_orderkey, o_orderdate,
+         CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+  GROUP BY l_orderkey, o_orderdate)
+SELECT rnk, l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, revenue_cents FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, l_orderkey) AS rnk FROM agg)
+WHERE rnk <= 10
+"""
+
+
+def q_tpch_q5_shape(spark, sf):
+    """Five-way snowflake join aggregated by nation (TPC-H Q5 shape)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+    )
+    return joined.groupBy("n_name").agg(
+        cents(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.5 text kernels that ARE builtin-expressible
 # --------------------------------------------------------------------------
@@ -983,6 +1054,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "a3_per_host_rank": (q_a3_per_host_rank, SQL_A3),
     "a5_agg_summary": (q_a5_agg_summary, SQL_A5),
     "a6_argmax_per_group": (q_a6_argmax, SQL_A6),
+    "tpch_q3_shape": (q_tpch_q3_shape, SQL_TPCH_Q3),
+    "tpch_q5_shape": (q_tpch_q5_shape, SQL_TPCH_Q5),
     "t3_collapse_whitespace": (q_t3_collapse_whitespace, SQL_T3),
     "t13_type_dispatch": (q_t13_dispatch, SQL_T13),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
