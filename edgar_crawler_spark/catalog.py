@@ -363,6 +363,47 @@ WHERE r = 1
 """
 
 
+def q_rollup_summary(spark, sf):
+    """ROLLUP hierarchy totals (engine breadth beyond the reference)."""
+    o = t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), cents(F.sum("o_totalprice")).alias("total_cents"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total_cents",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS total_cents
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_distinct_agg(spark, sf):
+    """Exact distinct aggregation (expand-based in Spark)."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_tpch_q3_shape(spark, sf):
     """Multi-join + top-k (TPC-H Q3 shape): Catalyst picks join order,
     the dim side broadcasts, top-k is a sort-limit."""
@@ -1055,6 +1096,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "a5_agg_summary": (q_a5_agg_summary, SQL_A5),
     "a6_argmax_per_group": (q_a6_argmax, SQL_A6),
     "tpch_q3_shape": (q_tpch_q3_shape, SQL_TPCH_Q3),
+    "rollup_summary": (q_rollup_summary, SQL_ROLLUP),
+    "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "tpch_q5_shape": (q_tpch_q5_shape, SQL_TPCH_Q5),
     "t3_collapse_whitespace": (q_t3_collapse_whitespace, SQL_T3),
     "t13_type_dispatch": (q_t13_dispatch, SQL_T13),
