@@ -55,6 +55,18 @@ def run_streaming_crawl(
     return fr
 
 
+def streaming_url_dedup(
+    urls: DataFrame, ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming URL-seen dedup: first occurrence of each url_hash wins;
+    duplicates arriving within the watermark horizon are dropped by
+    Spark's stateful dropDuplicates (state expires past the watermark —
+    at 10^10 scale the bounded-state streaming dedup handles the hot
+    recent window while the snapshot seen-table handles all of history)."""
+    urls = urls.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return urls.withWatermark(ts_col, watermark).dropDuplicates(["url_hash"])
+
+
 def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling 1-hour event counts with late-data watermark — the
     streaming form of the catalog's ev_tumbling_hourly."""
