@@ -21,7 +21,7 @@ ITEMS_8K_NEW = [
     "6.04", "6.05", "7.01", "8.01", "9.01",
 ]
 ITEMS_8K_OLD = [str(i) for i in range(1, 13)]
-SAMPLE_EVERY = 7  # 553 / 7 ≈ 80 files
+SAMPLE_EVERY = 4  # 553 / 4 ≈ 138 files in pytest; tools/golden_check.py sweeps all 553
 
 
 @pytest.fixture(scope="module")
@@ -53,7 +53,7 @@ def test_golden_byte_exact_sample(corpus):
         for k in set(gold) | set(got or {}):
             assert (got or {}).get(k, "") == gold.get(k, ""), f"mismatch {fname} {k}"
         checked += 1
-    assert checked >= 70
+    assert checked >= 130
 
 
 def test_spark_extract_agrees_with_kernel(spark, corpus):
