@@ -155,7 +155,20 @@ class CrawlFrontier:
         )
 
         # 1) commit results (log + payload + seen) — BEFORE touching pending
-        log_df = results.withColumn("wave", F.lit(wave_no)).drop("bytes")
+        # a retry that exhausted its attempt budget is terminal: log it
+        # as 'failed' so the log carries every URL's final disposition
+        log_df = (
+            results.withColumn(
+                "state",
+                F.when(
+                    (F.col("state") == "retry")
+                    & (F.col("attempts_total") + 1 >= self.max_attempts),
+                    F.lit("failed"),
+                ).otherwise(F.col("state")),
+            )
+            .withColumn("wave", F.lit(wave_no))
+            .drop("bytes")
+        )
         self.log.append(log_df, metrics={"wave": wave_no, "rows": n_dispatched})
         # decode + validate payloads in Arrow batches (input_hint: the
         # payload table carries decoded dims, fmt and phash)
