@@ -285,7 +285,7 @@ def q_a2_global_order(spark, sf):
         F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
     )
     return (
-        li.withColumn("rnk", F.row_number().over(w))
+        li.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 20)
         .select("rnk", "l_orderkey", "l_linenumber", cents(F.col("l_extendedprice")).alias("price_cents"))
     )
@@ -306,7 +306,7 @@ def q_a3_per_host_rank(spark, sf):
         o, ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
     )
     return ranked.filter(F.col("rnk") <= 3).select(
-        "o_custkey", "rnk", "o_orderkey"
+        "o_custkey", F.col("rnk").cast("long").alias("rnk"), "o_orderkey"
     )
 
 
@@ -420,7 +420,7 @@ def q_tpch_q3_shape(spark, sf):
     )
     w = Window.orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
     return (
-        agg.withColumn("rnk", F.row_number().over(w))
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 10)
         .select("rnk", "l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"), "revenue_cents")
     )
@@ -435,7 +435,7 @@ WITH agg AS (
   JOIN customer ON o_custkey = c_custkey
   WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
   GROUP BY l_orderkey, o_orderdate)
-SELECT rnk, l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, revenue_cents FROM (
+SELECT CAST(rnk AS BIGINT) AS rnk, l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, revenue_cents FROM (
   SELECT *, ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, l_orderkey) AS rnk FROM agg)
 WHERE rnk <= 10
 """
@@ -639,7 +639,7 @@ h AS (SELECT doc_id, {h48_sql("tok")} AS h FROM toks),
 bits AS (
   SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
   FROM h CROSS JOIN generate_series(0, 31) AS g(b) GROUP BY doc_id, b)
-SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 
@@ -983,7 +983,7 @@ def q_ev_topk_users(spark, sf):
     e = t(spark, sf, "events")
     counts = e.groupBy("user_id").agg(F.count("*").alias("n"))
     w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
-    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    return counts.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 10)
 
 
 SQL_EV_TOPK = """

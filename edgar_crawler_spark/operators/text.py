@@ -35,8 +35,8 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_ws = F.size(F.filter(F.split(t, " "), lambda x: x != ""))
     return docs.select(
         "doc_id",
-        n_ws.alias("n_tokens"),
-        F.length(t).alias("n_chars_actual"),
+        n_ws.cast("long").alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars_actual"),
         # BPE-ish estimate: ~4 chars/token floor at whitespace count
         F.greatest(n_ws, (F.length(t) / 4).cast("long")).alias("n_subwords_est"),
     )
@@ -59,7 +59,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(mean_tok_len, 6).alias("mean_tok_len"),
@@ -79,8 +79,8 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.when(hits["en"] >= hits["fr"], F.lit("en")).otherwise(F.lit("fr"))
     return docs.select(
         "doc_id",
-        hits["en"].alias("hits_en"),
-        hits["fr"].alias("hits_fr"),
+        hits["en"].cast("long").alias("hits_en"),
+        hits["fr"].cast("long").alias("hits_fr"),
         pred.alias("lang_pred"),
     )
 
