@@ -53,6 +53,7 @@ class CrawlFrontier:
         max_attempts: int = 3,
         use_bloom: bool = True,
         bloom_shards: int = 32,
+        filter_kind: str = "bloom",  # bloom | cuckoo (deletable)
     ):
         self.spark = spark
         self.fetcher = fetcher
@@ -62,6 +63,7 @@ class CrawlFrontier:
         self.max_attempts = max_attempts
         self.use_bloom = use_bloom
         self.bloom_shards = bloom_shards
+        self.filter_kind = filter_kind
         self.seen = SnapshotTable(os.path.join(workdir, "seen"))
         self.pending = SnapshotTable(os.path.join(workdir, "pending"))
         self.log = SnapshotTable(os.path.join(workdir, "log"))
@@ -92,12 +94,15 @@ class CrawlFrontier:
         cand = cand.dropDuplicates(["url_hash", "canonical_url"])
         seen_df = self.seen.read(self.spark)
         if seen_df is not None:
-            bloom = (
-                BloomFilterTable.build(seen_df, num_shards=self.bloom_shards)
-                if self.use_bloom
-                else None
-            )
-            cand = url_seen_anti_join(cand, seen_df, bloom=bloom)
+            pre_filter = None
+            if self.use_bloom:
+                if self.filter_kind == "cuckoo":
+                    from edgar_crawler_spark.frontier.cuckoo import CuckooFilterTable
+
+                    pre_filter = CuckooFilterTable.build(seen_df, num_shards=self.bloom_shards)
+                else:
+                    pre_filter = BloomFilterTable.build(seen_df, num_shards=self.bloom_shards)
+            cand = url_seen_anti_join(cand, seen_df, bloom=pre_filter)
         prev = self.pending.read(self.spark)
         if prev is not None:
             cand = cand.join(
