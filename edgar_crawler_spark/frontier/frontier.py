@@ -129,11 +129,23 @@ class CrawlFrontier:
         seen_df = self.seen.read(self.spark)
         if seen_df is not None:
             pending = url_seen_anti_join(pending, seen_df)
-        work = with_priority(pending)
+        # cache the prioritized frontier: the window shuffle feeds BOTH
+        # the dispatch slice and the deferred remainder — without the
+        # cache the deferred side re-scans pending and re-runs the
+        # window when the next-pending snapshot is written
+        work = with_priority(pending).persist()
         dispatch = work.filter(F.col("host_rank") <= self.wave_quota)
         deferred = work.filter(F.col("host_rank") > self.wave_quota).drop(
             "form_type_rank", "priority", "host_rank"
         )
+        # terminal-state remap: a retry that exhausted its attempt
+        # budget is 'failed' so the log carries every URL's final
+        # disposition
+        terminal_state = F.when(
+            (F.col("state") == "retry")
+            & (F.col("attempts_total") + 1 >= self.max_attempts),
+            F.lit("failed"),
+        ).otherwise(F.col("state"))
         t0 = time.time()
         results = fetch_wave(
             dispatch,
@@ -141,11 +153,20 @@ class CrawlFrontier:
             rate_per_host=self.rate_per_host,
             virtual_clock=self.virtual_clock,
         ).persist()
-        n_dispatched = results.count()  # materializes the wave
+        # ONE materializing job yields dispatch total AND per-state
+        # counts (previously a count() plus a separate groupBy job)
+        state_counts = {
+            r["st"]: r["n"]
+            for r in results.groupBy(terminal_state.alias("st"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_dispatched = sum(state_counts.values())
         wall = time.time() - t0
         if n_dispatched == 0:
             results.unpersist()
             self.pending.overwrite(deferred) if not deferred.isEmpty() else None
+            work.unpersist()
             return None
 
         wave_no = len(self.metrics) + 1
@@ -154,27 +175,18 @@ class CrawlFrontier:
             (F.col("state") == "retry")
             & (F.col("attempts_total") + 1 < self.max_attempts)
         )
-        failed = results.filter(
-            (F.col("state") == "failed")
-            | ((F.col("state") == "retry") & (F.col("attempts_total") + 1 >= self.max_attempts))
-        )
 
-        # 1) commit results (log + payload + seen) — BEFORE touching pending
-        # a retry that exhausted its attempt budget is terminal: log it
-        # as 'failed' so the log carries every URL's final disposition
+        # 1) commit results (log + payload + seen) — BEFORE touching
+        # pending. The three tables are independent and all derive
+        # from the persisted `results`, so their write jobs are
+        # submitted concurrently (Spark schedules jobs from separate
+        # driver threads in parallel); the pending overwrite stays
+        # strictly AFTER the barrier for crash safety.
         log_df = (
-            results.withColumn(
-                "state",
-                F.when(
-                    (F.col("state") == "retry")
-                    & (F.col("attempts_total") + 1 >= self.max_attempts),
-                    F.lit("failed"),
-                ).otherwise(F.col("state")),
-            )
+            results.withColumn("state", terminal_state)
             .withColumn("wave", F.lit(wave_no))
             .drop("bytes")
         )
-        self.log.append(log_df, metrics={"wave": wave_no, "rows": n_dispatched})
         # decode + validate payloads in Arrow batches (input_hint: the
         # payload table carries decoded dims, fmt and phash)
         from edgar_crawler_spark.operators.multimodal import decode_and_validate
@@ -188,13 +200,23 @@ class CrawlFrontier:
                 "caption",
             )
         ).select("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "decode_ok")
-        self.payload.append(payload_rows, lineage={"wave": wave_no})
         new_seen = fetched.select(
             "url_hash",
             "canonical_url",
             F.lit(self.seen.current_version() + 1).cast("long").alias("first_seen_version"),
         )
-        self.seen.append(new_seen, metrics={"wave": wave_no})
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(
+                    self.log.append, log_df, {"wave": wave_no, "rows": n_dispatched}
+                ),
+                pool.submit(self.payload.append, payload_rows, None, {"wave": wave_no}),
+                pool.submit(self.seen.append, new_seen, {"wave": wave_no}),
+            ]
+            for fut in futures:
+                fut.result()  # barrier; re-raises any commit failure
 
         # 2) rebuild pending = deferred ∪ retries
         pending_cols = [f.name for f in pending.schema.fields]
@@ -209,19 +231,6 @@ class CrawlFrontier:
         next_pending = deferred.select(pending_cols).unionByName(retry_rows)
         self.pending.overwrite(next_pending, metrics={"wave": wave_no})
 
-        # one job for all per-state counts (not three)
-        state_counts = {
-            r["st"]: r["n"]
-            for r in results.groupBy(
-                F.when(
-                    (F.col("state") == "retry")
-                    & (F.col("attempts_total") + 1 >= self.max_attempts),
-                    F.lit("failed"),
-                ).otherwise(F.col("state")).alias("st")
-            )
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
         m = {
             "wave": wave_no,
             "dispatched": n_dispatched,
@@ -232,6 +241,7 @@ class CrawlFrontier:
             "urls_per_s": n_dispatched / wall if wall > 0 else 0.0,
         }
         results.unpersist()
+        work.unpersist()
         self.metrics.append(m)
         return m
 
