@@ -54,6 +54,7 @@ class CrawlFrontier:
         use_bloom: bool = True,
         bloom_shards: int = 32,
         filter_kind: str = "bloom",  # bloom | cuckoo (deletable)
+        compact_every: int | None = None,  # auto-compact every K waves
     ):
         self.spark = spark
         self.fetcher = fetcher
@@ -64,6 +65,7 @@ class CrawlFrontier:
         self.use_bloom = use_bloom
         self.bloom_shards = bloom_shards
         self.filter_kind = filter_kind
+        self.compact_every = compact_every
         self.seen = SnapshotTable(os.path.join(workdir, "seen"))
         self.pending = SnapshotTable(os.path.join(workdir, "pending"))
         self.log = SnapshotTable(os.path.join(workdir, "log"))
@@ -254,6 +256,13 @@ class CrawlFrontier:
             out.append(m)
             if m["dispatched"] == 0:
                 break
+            # wave-level compaction policy: a long crawl appends one
+            # data dir per table per wave; folding every K waves keeps
+            # scan planning O(1) instead of O(waves) at 10^10 scale
+            # (history retains pre-compaction snapshots — time travel
+            # and resume semantics are unchanged)
+            if self.compact_every and m["wave"] % self.compact_every == 0:
+                self.compact()
         return out
 
     # ---- outputs -----------------------------------------------------------

@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--rate", type=float, default=10.0)
     ap.add_argument("--wave-quota", type=int, default=100_000)
     ap.add_argument("--max-waves", type=int, default=1000)
+    ap.add_argument(
+        "--compact-every",
+        type=int,
+        default=None,
+        help="fold seen/log/payload snapshots every K waves (scan-planning "
+        "hygiene on long crawls; default off)",
+    )
     ap.add_argument("--real-network", action="store_true")
     ap.add_argument("--user-agent", default="edgar-crawler-spark admin@example.com")
     args = ap.parse_args()
@@ -52,6 +59,7 @@ def main() -> None:
         rate_per_host=args.rate,
         virtual_clock=virtual_clock,
         wave_quota=args.wave_quota,
+        compact_every=args.compact_every,
     )
     seed = spark.read.parquet(args.seed_parquet)
     admitted = fr.submit(seed)
