@@ -80,12 +80,15 @@ def bench_fetch_job(spark, n: int, n_hosts: int = 4096) -> dict:
     from edgar_crawler_spark.frontier.canonical import with_url_identity
     from edgar_crawler_spark.frontier.fetch import fetch_wave
     from edgar_crawler_spark.frontier.priority import with_priority
-    from edgar_crawler_spark.operators.multimodal import decode_and_validate
 
     seed = seed_index_df(spark, n, n_hosts=n_hosts, hot_host=False)
     work = with_priority(with_url_identity(seed).withColumn("attempts_total", F.lit(0)))
-    fetched = fetch_wave(work, rate_per_host=10.0, virtual_clock=True)
-    validated = decode_and_validate(fetched.select("canonical_url", "row_seq", "bytes", "caption"))
+    # decode/validate fused into the fetch pass: bytes cross the Arrow
+    # boundary once, no second Python stage, no byte shuffle
+    fetched = fetch_wave(work, rate_per_host=10.0, virtual_clock=True, decode=True)
+    validated = fetched.select(
+        "canonical_url", "row_seq", "bytes", "caption", "w", "h", "fmt", "phash", "decode_ok"
+    )
     t0 = time.time()
     validated.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0

@@ -154,6 +154,7 @@ class CrawlFrontier:
             fetcher=self.fetcher,
             rate_per_host=self.rate_per_host,
             virtual_clock=self.virtual_clock,
+            decode=True,  # fused validate: bytes cross Arrow once
         ).persist()
         # ONE materializing job yields dispatch total AND per-state
         # counts (previously a count() plus a separate groupBy job)
@@ -187,21 +188,17 @@ class CrawlFrontier:
         log_df = (
             results.withColumn("state", terminal_state)
             .withColumn("wave", F.lit(wave_no))
-            .drop("bytes")
+            .drop("bytes", "w", "h", "fmt", "phash", "decode_ok")
         )
-        # decode + validate payloads in Arrow batches (input_hint: the
-        # payload table carries decoded dims, fmt and phash)
-        from edgar_crawler_spark.operators.multimodal import decode_and_validate
-
-        payload_rows = decode_and_validate(
-            fetched.select(
-                F.regexp_extract(
-                    "canonical_url", r"/(\d{10}-\d{2}-\d{6})(?:-index\.html)?$", 1
-                ).alias("image_id"),
-                "bytes",
-                "caption",
-            )
-        ).select("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "decode_ok")
+        # payload row (input_hint: decoded dims, fmt, phash) — the
+        # decode/validate columns were fused into the fetch pass, so
+        # this is a pure JVM projection, no second Python stage
+        payload_rows = fetched.select(
+            F.regexp_extract(
+                "canonical_url", r"/(\d{10}-\d{2}-\d{6})(?:-index\.html)?$", 1
+            ).alias("image_id"),
+            "bytes", "w", "h", "fmt", "caption", "phash", "decode_ok",
+        )
         new_seen = fetched.select(
             "url_hash",
             "canonical_url",
