@@ -648,6 +648,13 @@ def q_dedup_simhash_pairs(spark, sf):
     return dedup.simhash_near_dup_pairs(t(spark, sf, "documents"), max_hamming=6)
 
 
+# bands = max_hamming + 1 = 7 variable-width slices (pigeonhole recall
+# guarantee); generated from the SAME band-bounds helper the operator uses.
+_SIMHASH_BAND_VALUES = ", ".join(
+    f"({j}, {start}, {(1 << w) - 1})"
+    for j, start, w in dedup.simhash_band_bounds(32, 7)
+)
+
 SQL_DEDUP_SIMHASH_PAIRS = f"""
 WITH {_SQL_TOKS},
 h AS (SELECT doc_id, {h48_sql("tok")} AS h FROM toks),
@@ -657,9 +664,10 @@ bits AS (
 sims AS (
   SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
   FROM bits GROUP BY doc_id),
+bands(j, st, mask) AS (VALUES {_SIMHASH_BAND_VALUES}),
 banded AS (
-  SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS byteval
-  FROM sims CROSS JOIN generate_series(0, 3) AS g(j))
+  SELECT doc_id, simhash, j, (simhash >> st) & mask AS byteval
+  FROM sims CROSS JOIN bands)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM banded a JOIN banded b ON a.j = b.j AND a.byteval = b.byteval
@@ -668,16 +676,24 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+_JACCARD_MAX_DF = 450  # > max df at sf0.01 (402): cap ACTIVE but pair-neutral
+
+
 def q_dedup_jaccard(spark, sf):
-    return dedup.ngram_jaccard_pairs(t(spark, sf, "documents"), threshold=0.6)
+    return dedup.ngram_jaccard_pairs(
+        t(spark, sf, "documents"), threshold=0.6, max_df=_JACCARD_MAX_DF
+    )
 
 
 SQL_DEDUP_JACCARD = f"""
 WITH {_SQL_TOKS},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+capped AS (
+  SELECT * FROM toks WHERE tok IN (
+    SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= {_JACCARD_MAX_DF})),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT doc_a, doc_b,
        ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard

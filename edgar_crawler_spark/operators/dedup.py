@@ -165,12 +165,32 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard over all pairs sharing >=1 token:
     |A∩B| via token self-join, |A∪B| = |A|+|B|−|A∩B|.
-    Returns (doc_a, doc_b, jaccard) for pairs >= threshold."""
+    Returns (doc_a, doc_b, jaccard) for pairs >= threshold.
+
+    ``max_df`` caps token document-frequency BEFORE the self-join: a
+    token appearing in more than ``max_df`` documents is dropped from
+    both the intersection join and the per-doc set sizes (i.e. Jaccard
+    is computed over the df-filtered token sets — consistent on both
+    sides of the ratio). This is the standard stop-token guard: one
+    token shared by 10^6 docs otherwise makes the ``a.join(b, on='tok')``
+    emit ~10^12 rows. The cap is explicit and mirrored in the DuckDB
+    oracle (same pattern as ``bucket_cap`` in :func:`minhash_lsh_pairs`).
+    """
     toks = tokens(docs, text_col)
+    if max_df is not None:
+        dfs = toks.groupBy("tok").agg(F.count("*").alias("__df"))
+        toks = toks.join(
+            dfs.filter(F.col("__df") <= max_df).drop("__df"),
+            on="tok",
+            how="left_semi",
+        )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -189,17 +209,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_band_bounds(bits: int, bands: int) -> list[tuple[int, int, int]]:
+    """(band_index, start_bit, width) slices covering ``bits`` bits in
+    ``bands`` contiguous bands, widths as even as possible. Shared by
+    the Spark operator and the DuckDB oracle generator so both engines
+    band identically."""
+    base, extra = divmod(bits, bands)
+    bounds, start = [], 0
+    for j in range(bands):
+        w = base + (1 if j < extra else 0)
+        bounds.append((j, start, w))
+        start += w
+    return bounds
+
+
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 6, bits: int = SIMHASH_BITS
+    docs: DataFrame,
+    max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
+    bands: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance, found via the
-    banded byte trick: split the 32-bit sketch into 4 bytes; any pair
-    within Hamming ≤ 6 of each other shares at least one byte whenever
-    the differing bits cluster — candidates are pairs agreeing on ANY
-    byte position (key-equality join, no cross join), verified by
-    exact bit_count(xor). Returns (doc_a, doc_b, hamming)."""
+    """Near-duplicate pairs by SimHash Hamming distance via banded
+    candidate generation: split the sketch into ``bands`` contiguous
+    bit slices (default ``max_hamming + 1``). By pigeonhole, any pair
+    within Hamming ≤ max_hamming differs in at most max_hamming bands,
+    so it MUST agree exactly on at least one band — candidate recall is
+    guaranteed, not heuristic. Candidates are pairs agreeing on ANY
+    band (key-equality join, no cross join), verified by exact
+    bit_count(xor). Returns (doc_a, doc_b, hamming)."""
+    if bands is None:
+        bands = max_hamming + 1
     sims = simhash(docs, bits)
-    n_bytes = bits // 8
+    bounds = simhash_band_bounds(bits, bands)
     banded = sims.select(
         "doc_id",
         "simhash",
@@ -208,9 +249,9 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.expr(f"(simhash >> {8 * j}) & 255").alias("byteval"),
+                        F.expr(f"(simhash >> {start}) & {(1 << w) - 1}").alias("byteval"),
                     )
-                    for j in range(n_bytes)
+                    for j, start, w in bounds
                 ]
             )
         ).alias("b"),

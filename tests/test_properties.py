@@ -33,9 +33,13 @@ def test_remove_multiple_lines_normal_form(s):
     assert "\n\n" not in out
     assert "  " not in out
     assert out == out.strip()
-    # idempotent on its own output... modulo the #NEWLINE token trick
+    # NOT idempotent by spec (reference extract_items.py:223-243 maps any
+    # remaining single \n to a space on every pass) — assert the true
+    # second-pass normal form instead: newlines in `out` exist only where a
+    # >=2-blank run collapsed, and re-applying turns each into one space.
     if "#NEWLINE" not in s:
-        assert remove_multiple_lines(out) == out
+        expected_second = re.sub(r"[ ]{2,}", " ", out.replace("\n", " ")).strip()
+        assert remove_multiple_lines(out) == expected_second
 
 
 @given(text_st)
