@@ -119,6 +119,8 @@ def _fetch_one(fetcher, url: str, bucket, clk) -> tuple:
                 (clk.sleep if clk else bucket.sleep)(b)
                 waited += b
             attempts += 1
+            err = None  # a later successful attempt must not carry a
+            # stale error string into the committed log (ADVICE r01)
             try:
                 status, body, caption = fetcher(url, attempts)
             except Exception as e:  # fetcher must not kill the task
@@ -181,8 +183,13 @@ def fetch_wave(
     out_schema = StructType(in_fields + FETCH_RESULT_FIELDS + extra_fields)
     if num_partitions is None:
         num_partitions = frontier.sparkSession.sparkContext.defaultParallelism * 2
+    # the join-back key is the (hash, url) PAIR — submit() dedups on the
+    # pair precisely so two distinct same-hash URLs can coexist in one
+    # wave; joining on url_hash alone would cross-match them
     slim_schema = StructType(
-        [frontier.schema["url_hash"]] + FETCH_RESULT_FIELDS + extra_fields
+        [frontier.schema["url_hash"], frontier.schema["canonical_url"]]
+        + FETCH_RESULT_FIELDS
+        + extra_fields
     )
 
     def run(batches):
@@ -233,8 +240,12 @@ def fetch_wave(
             for row in pdf.itertuples(index=False):
                 host = row.host
                 if gate is not None:
-                    path = row.canonical_url.split("/", 3)[-1]
-                    if not gate.allowed(host, "/" + path):
+                    # scheme://authority[/path]: a path-less URL checks
+                    # "/" — split('/',3)[-1] would wrongly yield the
+                    # authority itself (ADVICE r01)
+                    parts = row.canonical_url.split("/", 3)
+                    path = "/" + parts[3] if len(parts) > 3 else "/"
+                    if not gate.allowed(host, path):
                         seq = seqs.get(host, 0)
                         seqs[host] = seq + 1
                         for key, val in (
@@ -268,7 +279,9 @@ def fetch_wave(
                     )
                     for name, val in zip(decode_names, vals):
                         res[name].append(val)
-            out = pd.DataFrame({"url_hash": pdf["url_hash"]})
+            out = pd.DataFrame(
+                {"url_hash": pdf["url_hash"], "canonical_url": pdf["canonical_url"]}
+            )
             for k, v in res.items():
                 out[k] = pd.Series(v, dtype=object) if k == "bytes" else v
             yield out
@@ -278,6 +291,6 @@ def fetch_wave(
         "host", order_col
     )
     results = partitioned.mapInPandas(run, slim_schema)
-    joined = frontier.join(results, on="url_hash", how="inner")
+    joined = frontier.join(results, on=["url_hash", "canonical_url"], how="inner")
     # restore the declared column order
     return joined.select(*[f.name for f in out_schema.fields])

