@@ -54,6 +54,93 @@ def resolve_tickers(seeds: DataFrame, dim: DataFrame, ticker_col: str = "ticker"
     return joined.filter(F.col("cik").isNotNull()), joined.filter(F.col("cik").isNull())
 
 
+COMPANY_DIM_SCHEMA = StructType(
+    [
+        StructField("cik", StringType()),
+        StructField("company_name", StringType()),
+        StructField("sic", StringType()),
+        StructField("state_location", StringType()),
+        StructField("state_of_inc", StringType()),
+        StructField("fiscal_year_end", StringType()),
+    ]
+)
+
+
+class CompanyDimTable:
+    """S6: the companies_info dimension as a snapshot table with the
+    reference's lazy cache-miss loop (download_filings.py:571-646)
+    made set-oriented: needed CIKs ``left_anti`` the cached dim → the
+    misses are fetched (browse-edgar page per CIK, token-bucketed
+    mapInPandas reusing the N1/N2 protocol) → parsed
+    (functions.company_page) → appended. A CIK is fetched at most once
+    across runs; fetch FAILURES are not cached (retried next run),
+    parse-empty pages are (all-None record), both matching the
+    reference."""
+
+    def __init__(self, root: str):
+        from edgar_crawler_spark.frontier.state import SnapshotTable
+
+        self.table = SnapshotTable(root)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.table.read_or_empty(spark, COMPANY_DIM_SCHEMA)
+
+    def ensure(
+        self,
+        needed: DataFrame,
+        fetcher,
+        cik_col: str = "cik",
+        rate_per_host: float = 10.0,
+        virtual_clock: bool = True,
+    ) -> int:
+        """Fetch+cache every CIK in ``needed`` not already in the dim.
+        Returns the number of newly cached CIKs (0 on a warm second
+        run — the anti-join sees every hit)."""
+        import pandas as pd
+
+        from edgar_crawler_spark.frontier.fetch import _fetch_one
+        from edgar_crawler_spark.frontier.politeness import TokenBucket, VirtualClock
+        from edgar_crawler_spark.functions.company_page import parse_company_info_page
+
+        spark = needed.sparkSession
+        missing = (
+            needed.select(F.col(cik_col).cast("string").alias("cik"))
+            .dropDuplicates()
+            .join(self.read(spark).select("cik"), on="cik", how="left_anti")
+        )
+
+        def run(batches):
+            clk = VirtualClock() if virtual_clock else None
+            bucket = (
+                TokenBucket(rate_per_host, clock=clk, sleep=clk.sleep)
+                if clk
+                else TokenBucket(rate_per_host)
+            )
+            cols = [f.name for f in COMPANY_DIM_SCHEMA.fields]
+            for pdf in batches:
+                rows = []
+                for rec in pdf.itertuples(index=False):
+                    url = f"https://www.sec.gov/cgi-bin/browse-edgar?CIK={rec.cik}"
+                    status, _att, state, _w, body, _c, _e = _fetch_one(
+                        fetcher, url, bucket, clk
+                    )
+                    if state != "fetched" or body is None:
+                        continue  # not cached; retried on the next run
+                    info = parse_company_info_page(
+                        body.decode("utf-8", errors="backslashreplace")
+                    )
+                    rows.append({"cik": rec.cik, **info})
+                yield pd.DataFrame(rows, columns=cols)
+
+        # one host (www.sec.gov) → one partition → serial, budgeted
+        fetched = missing.repartition(1).mapInPandas(run, COMPANY_DIM_SCHEMA).persist()
+        n = fetched.count()
+        if n:
+            self.table.append(fetched, metrics={"cache_miss_fetches": n})
+        fetched.unpersist()
+        return n
+
+
 def read_metadata_csv(spark: SparkSession, path: str) -> DataFrame:
     """S9: all-string metadata scan (dtype=str + NaN→None,
     extract_items.py:1204-1206)."""

@@ -119,6 +119,132 @@ def parse_master_idx(
     return files.mapInPandas(parse, _IDX_SCHEMA)
 
 
+_FETCH_IDX_SCHEMA = StructType(
+    [
+        StructField("year", IntegerType()),
+        StructField("quarter", IntegerType()),
+        StructField("url", StringType()),
+        StructField("status", IntegerType()),
+        StructField("attempts", IntegerType()),
+        StructField("state", StringType()),
+        StructField("body", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def fetch_master_indices(
+    worklist: DataFrame,
+    fetcher,
+    rate_per_host: float = 10.0,
+    virtual_clock: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S1's network leg (download_filings.py:280-301): GET master.zip,
+    unzip ``master.idx``, decode latin-1 — one mapInPandas kernel.
+
+    ``worklist`` carries (year, quarter, url) from
+    :func:`quarterly_index_worklist`; ``fetcher`` follows the
+    ``(url, attempt) -> (status, bytes, caption)`` contract of
+    ``frontier.fetch`` (use ``http_fetcher_factory`` for the real
+    network), so the full N1 retry + N2 throttle protocol runs around
+    every request via the shared ``_fetch_one``. Rows are partitioned
+    by host (all EDGAR index URLs share one host → one partition → the
+    per-host token bucket enforces the 10 req/s budget exactly as the
+    sequential reference does). A body that fails to unzip is emitted
+    as ``state='failed'`` with the error recorded — never raised.
+    """
+    import io
+    import zipfile
+
+    from edgar_crawler_spark.frontier.fetch import _fetch_one
+    from edgar_crawler_spark.frontier.politeness import TokenBucket, VirtualClock
+
+    if num_partitions is None:
+        num_partitions = worklist.sparkSession.sparkContext.defaultParallelism
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buckets: dict[str, tuple] = {}
+
+        def bucket_for(host: str):
+            if host not in buckets:
+                clk = VirtualClock() if virtual_clock else None
+                bk = (
+                    TokenBucket(rate_per_host, clock=clk, sleep=clk.sleep)
+                    if clk
+                    else TokenBucket(rate_per_host)
+                )
+                buckets[host] = (bk, clk)
+            return buckets[host]
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                bucket, clk = bucket_for(rec.host)
+                status, attempts, state, _waited, zbody, _cap, err = _fetch_one(
+                    fetcher, rec.url, bucket, clk
+                )
+                text = None
+                if state == "fetched" and zbody is not None:
+                    try:
+                        with zipfile.ZipFile(io.BytesIO(zbody)) as zf:
+                            with zf.open("master.idx") as f:
+                                text = f.read().decode("latin-1")
+                    except Exception as e:  # corrupt zip → failed row, not a crash
+                        state, text = "failed", None
+                        err = f"bad_zip:{type(e).__name__}"
+                rows.append(
+                    (rec.year, rec.quarter, rec.url, status, attempts, state, text, err)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FETCH_IDX_SCHEMA.fields]
+            )
+
+    slim = worklist.select(
+        "year",
+        "quarter",
+        "url",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+    )
+    partitioned = slim.repartition(num_partitions, F.col("host")).sortWithinPartitions(
+        "host", "year", "quarter"
+    )
+    return partitioned.mapInPandas(run, _FETCH_IDX_SCHEMA)
+
+
+def download_quarterly_indices(
+    spark: SparkSession,
+    worklist: DataFrame,
+    fetcher,
+    rate_per_host: float = 10.0,
+    virtual_clock: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """S1 end-to-end: fetch+unzip the worklist's master.zip files and
+    parse the successful bodies into 14-column index rows. Returns
+    (index_rows, fetch_status); failed (year, quarter) rows stay in
+    fetch_status with their attempt counts for non-interactive retry
+    (N5 semantics — re-run with the failed subset as the worklist)."""
+    fetched = fetch_master_indices(
+        worklist, fetcher, rate_per_host=rate_per_host, virtual_clock=virtual_clock
+    ).persist()
+    bodies = fetched.filter(F.col("state") == "fetched").select(
+        "year", "quarter", "body"
+    )
+    return parse_master_idx(spark, bodies), fetched
+
+
+def synth_master_idx_zip(year: int, quarter: int, n: int) -> bytes:
+    """master.zip-shaped fixture: the synthetic idx body zipped under
+    the EDGAR member name (for loopback-HTTP and unit tests)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("master.idx", synth_master_idx_body(year, quarter, n).encode("latin-1"))
+    return buf.getvalue()
+
+
 def synth_master_idx_body(year: int, quarter: int, n: int, n_hosts: int = 0) -> str:
     """Deterministic master.idx-shaped fixture body (11 header lines +
     pipe-delimited rows), mirroring the EDGAR file format."""

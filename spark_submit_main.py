@@ -25,7 +25,24 @@ from edgar_crawler_spark.frontier.frontier import CrawlFrontier
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
-    ap.add_argument("--seed-parquet", required=True)
+    ap.add_argument("--seed-parquet")
+    ap.add_argument(
+        "--config",
+        help="reference-format config.json (download_filings keys drive "
+        "the index worklist and filters — a copied /root/reference/"
+        "config.json works unchanged)",
+    )
+    ap.add_argument("--start-year", type=int)
+    ap.add_argument("--end-year", type=int)
+    ap.add_argument("--quarters", type=int, nargs="+")
+    ap.add_argument("--filing-types", nargs="+")
+    ap.add_argument("--as-of", help="S2 cutoff date override (tests)")
+    ap.add_argument(
+        "--plan-only",
+        action="store_true",
+        help="print the quarterly-index worklist + filters this run "
+        "would execute, then exit (config/flag parity check)",
+    )
     ap.add_argument("--rate", type=float, default=10.0)
     ap.add_argument(
         "--wave-quota",
@@ -49,6 +66,53 @@ def main() -> None:
     builder = SparkSession.builder.appName("edgar-crawler-spark")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    # config.json parity: the reference's download_filings keys drive
+    # the same plan the CLI flags do; explicit flags override config
+    dl_cfg = None
+    if args.config:
+        from edgar_crawler_spark.config import load_reference_config
+
+        cfg = load_reference_config(args.config)
+        dl_cfg = cfg["download_filings"]
+    if args.start_year or args.end_year or args.quarters or args.filing_types:
+        from edgar_crawler_spark.config import DOWNLOAD_DEFAULTS
+
+        dl_cfg = dict(dl_cfg or DOWNLOAD_DEFAULTS)
+        if args.start_year:
+            dl_cfg["start_year"] = args.start_year
+        if args.end_year:
+            dl_cfg["end_year"] = args.end_year
+        if args.quarters:
+            dl_cfg["quarters"] = args.quarters
+        if args.filing_types:
+            dl_cfg["filing_types"] = args.filing_types
+        if args.user_agent:
+            dl_cfg["user_agent"] = args.user_agent
+
+    if args.plan_only:
+        from edgar_crawler_spark.config import config_worklist, split_cik_tickers
+
+        if dl_cfg is None:
+            raise SystemExit("--plan-only needs --config or year/quarter flags")
+        wl = config_worklist(spark, dl_cfg, as_of=args.as_of)
+        ciks, tickers = split_cik_tickers(dl_cfg.get("cik_tickers"))
+        plan = {
+            "worklist": [
+                {"year": r.year, "quarter": r.quarter, "url": r.url}
+                for r in wl.orderBy("year", "quarter").collect()
+            ],
+            "filing_types": list(dl_cfg["filing_types"]),
+            "ciks": ciks,
+            "tickers": tickers,
+            "user_agent": dl_cfg.get("user_agent"),
+            "skip_present_indices": bool(dl_cfg.get("skip_present_indices", True)),
+        }
+        print(json.dumps(plan))
+        return
+
+    if not args.seed_parquet:
+        raise SystemExit("--seed-parquet is required unless --plan-only")
 
     fetcher = stub_fetcher
     virtual_clock = True
