@@ -182,18 +182,25 @@ class CrawlFrontier:
         return n
 
     # ---- one wave ----------------------------------------------------------
-    def step(self) -> dict | None:
-        """Run one wave; returns its metrics dict, or None if drained."""
+    def _terminal_state(self):
+        """A retry that exhausted its attempt budget is 'failed' so the
+        log carries every URL's final disposition."""
+        return F.when(
+            (F.col("state") == "retry")
+            & (F.col("attempts_total") + 1 >= self.max_attempts),
+            F.lit("failed"),
+        ).otherwise(F.col("state"))
+
+    def _refiltered_pending(self) -> DataFrame | None:
+        """Read the pending table and re-filter vs seen — makes
+        crash-recovery idempotent. The persisted Bloom pre-filter keeps
+        this exact (maybe → exact recheck) while the definitely-new
+        bulk skips the seen scan; filter ⊇ seen (commit protocol step
+        2-before-3) guarantees no false negative can re-admit a
+        fetched URL."""
         pending = self.pending.read(self.spark)
-        if pending is None or pending.isEmpty():
-            # cheap limit-1 probe: a drained frontier costs one tiny
-            # job, not a full (empty) fetch wave
+        if pending is None:
             return None
-        # re-filter vs seen: makes crash-recovery idempotent. The
-        # persisted Bloom pre-filter keeps this exact (maybe → exact
-        # recheck) while the definitely-new bulk skips the seen scan;
-        # filter ⊇ seen (commit protocol step 2-before-3) guarantees
-        # no false negative can re-admit a fetched URL.
         seen_df = self.seen.read(self.spark)
         if seen_df is not None:
             bloom = (
@@ -202,6 +209,12 @@ class CrawlFrontier:
                 else None
             )
             pending = url_seen_anti_join(pending, seen_df, bloom=bloom)
+        return pending
+
+    def _fetch_phase(self, pending: DataFrame) -> dict:
+        """Prioritize, split dispatch/deferred, run the fetch, and
+        materialize per-state counts. Returns the wave context dict
+        (results/work stay persisted until the caller releases them)."""
         # cache the prioritized frontier: the window shuffle feeds BOTH
         # the dispatch slice and the deferred remainder — without the
         # cache the deferred side re-scans pending and re-runs the
@@ -211,14 +224,6 @@ class CrawlFrontier:
         deferred = work.filter(F.col("host_rank") > self.wave_quota).drop(
             "form_type_rank", "priority", "host_rank"
         )
-        # terminal-state remap: a retry that exhausted its attempt
-        # budget is 'failed' so the log carries every URL's final
-        # disposition
-        terminal_state = F.when(
-            (F.col("state") == "retry")
-            & (F.col("attempts_total") + 1 >= self.max_attempts),
-            F.lit("failed"),
-        ).otherwise(F.col("state"))
         t0 = time.time()
         results = fetch_wave(
             dispatch,
@@ -231,36 +236,50 @@ class CrawlFrontier:
         # counts (previously a count() plus a separate groupBy job)
         state_counts = {
             r["st"]: r["n"]
-            for r in results.groupBy(terminal_state.alias("st"))
+            for r in results.groupBy(self._terminal_state().alias("st"))
             .agg(F.count("*").alias("n"))
             .collect()
         }
         n_dispatched = sum(state_counts.values())
         wall = time.time() - t0
-        if n_dispatched == 0:
-            results.unpersist()
-            # unconditional: an empty deferred set must still clear the
-            # stale pending snapshot (ADVICE r01 nit)
-            self.pending.overwrite(deferred)
-            work.unpersist()
-            return None
-
-        wave_no = len(self.metrics) + 1
-        fetched = results.filter(F.col("state") == "fetched")
+        pending_cols = [f.name for f in pending.schema.fields]
         retry = results.filter(
             (F.col("state") == "retry")
             & (F.col("attempts_total") + 1 < self.max_attempts)
         )
+        retry_rows = retry.select(
+            *[
+                (F.col("attempts_total") + 1).alias("attempts_total")
+                if c == "attempts_total"
+                else F.col(c)
+                for c in pending_cols
+            ]
+        )
+        next_pending = deferred.select(pending_cols).unionByName(retry_rows)
+        return {
+            "work": work,
+            "results": results,
+            "deferred": deferred,
+            "next_pending": next_pending,
+            "state_counts": state_counts,
+            "n_dispatched": n_dispatched,
+            "wall": wall,
+        }
 
-        # 1) commit results — the ordered wave protocol (module
-        # docstring): log+payload concurrently (both tagged with this
-        # wave's commit token), then the Bloom filter OR-in, then seen
-        # strictly last among the result tables (seen is what gates
-        # re-dispatch — committing it only after log/payload exist
-        # means a crash can never drop a fetched URL from the log).
+    def _commit_phase(self, wave_no: int, ctx: dict) -> dict:
+        """The ordered wave commit protocol (module docstring):
+        log+payload concurrently (both tagged with this wave's commit
+        token), then the Bloom filter OR-in, then seen strictly last
+        among the result tables (seen is what gates re-dispatch —
+        committing it only after log/payload exist means a crash can
+        never drop a fetched URL from the log), then the pending
+        overwrite."""
+        results = ctx["results"]
+        n_dispatched = ctx["n_dispatched"]
+        fetched = results.filter(F.col("state") == "fetched")
         commit_token = uuid.uuid4().hex
         log_df = (
-            results.withColumn("state", terminal_state)
+            results.withColumn("state", self._terminal_state())
             .withColumn("wave", F.lit(wave_no))
             .drop("bytes", "w", "h", "fmt", "phash", "decode_ok")
         )
@@ -280,7 +299,7 @@ class CrawlFrontier:
         )
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        with ThreadPoolExecutor(max_workers=3) as pool:
             futures = [
                 pool.submit(
                     self.log.append,
@@ -293,61 +312,131 @@ class CrawlFrontier:
                     {"wave": wave_no, "commit_token": commit_token},
                 ),
             ]
+            # the filter OR-in only has to land BEFORE seen (filter ⊇
+            # seen invariant) — it is independent of log/payload, so it
+            # runs concurrently with them; it touches only the bitset
+            # table, never the seen parquet
+            if self.use_bloom and self.filter_kind == "bloom":
+                futures.append(
+                    pool.submit(
+                        self.seen_filter.update,
+                        new_seen,
+                        metrics={"wave": wave_no, "commit_token": commit_token},
+                    )
+                )
             for fut in futures:
                 fut.result()  # barrier; re-raises any commit failure
-        # filter update strictly before seen (filter ⊇ seen invariant);
-        # touches only the bitset table — never re-scans seen parquet
-        if self.use_bloom and self.filter_kind == "bloom":
-            self.seen_filter.update(
-                new_seen, metrics={"wave": wave_no, "commit_token": commit_token}
-            )
         self.seen.append(
             new_seen, metrics={"wave": wave_no, "commit_token": commit_token}
         )
-
-        # 2) rebuild pending = deferred ∪ retries
-        pending_cols = [f.name for f in pending.schema.fields]
-        retry_rows = retry.select(
-            *[
-                (F.col("attempts_total") + 1).alias("attempts_total")
-                if c == "attempts_total"
-                else F.col(c)
-                for c in pending_cols
-            ]
-        )
-        next_pending = deferred.select(pending_cols).unionByName(retry_rows)
-        self.pending.overwrite(next_pending, metrics={"wave": wave_no})
+        self.pending.overwrite(ctx["next_pending"], metrics={"wave": wave_no})
 
         m = {
             "wave": wave_no,
             "dispatched": n_dispatched,
-            "fetched": state_counts.get("fetched", 0),
-            "retried": state_counts.get("retry", 0),
-            "failed": state_counts.get("failed", 0),
-            "wall_s": wall,
-            "urls_per_s": n_dispatched / wall if wall > 0 else 0.0,
+            "fetched": ctx["state_counts"].get("fetched", 0),
+            "retried": ctx["state_counts"].get("retry", 0),
+            "failed": ctx["state_counts"].get("failed", 0),
+            "wall_s": ctx["wall"],
+            "urls_per_s": n_dispatched / ctx["wall"] if ctx["wall"] > 0 else 0.0,
         }
-        results.unpersist()
-        work.unpersist()
         self.metrics.append(m)
         return m
 
-    def run(self, max_waves: int = 100) -> list[dict]:
-        out = []
-        for _ in range(max_waves):
-            m = self.step()
-            if m is None:
-                break
-            out.append(m)
-            if m["dispatched"] == 0:
-                break
-            # wave-level compaction policy: a long crawl appends one
-            # data dir per table per wave; folding every K waves keeps
-            # scan planning O(1) instead of O(waves) at 10^10 scale
-            # (history retains pre-compaction snapshots — time travel
-            # and resume semantics are unchanged)
-            if self.compact_every and m["wave"] % self.compact_every == 0:
-                self.compact()
+    def step(self) -> dict | None:
+        """Run one wave synchronously; returns its metrics dict, or
+        None if drained."""
+        pending = self._refiltered_pending()
+        if pending is None or pending.isEmpty():
+            # cheap limit-1 probe: a drained frontier costs one tiny
+            # job, not a full (empty) fetch wave
+            return None
+        ctx = self._fetch_phase(pending)
+        if ctx["n_dispatched"] == 0:
+            ctx["results"].unpersist()
+            # unconditional: an empty deferred set must still clear the
+            # stale pending snapshot (ADVICE r01 nit)
+            self.pending.overwrite(ctx["deferred"])
+            ctx["work"].unpersist()
+            return None
+        m = self._commit_phase(len(self.metrics) + 1, ctx)
+        ctx["results"].unpersist()
+        ctx["work"].unpersist()
+        return m
+
+    def run(self, max_waves: int = 100, pipeline: bool = True) -> list[dict]:
+        """Drain the frontier. With ``pipeline=True`` (default), wave
+        N+1's fetch overlaps wave N's commits: commits run on ONE
+        background thread (strictly ordered — only the latest snapshot
+        can ever be partial, which is what ``_recover`` assumes) while
+        the main thread prioritizes and fetches the next wave from the
+        in-memory ``deferred ∪ retries`` remainder. Chained waves skip
+        the seen re-filter — fetched rows are excluded from the
+        remainder by construction — and the pending-table overwrite
+        stays the last step of each wave's commit, so a crash anywhere
+        leaves a pending snapshot whose stale rows the resume-time
+        re-filter drops. Crash-safety is identical to step()-by-step
+        execution; only idle driver time is removed.
+
+        Lineage note: wave N's caches are unpersisted once wave N+1's
+        are materialized AND N's commit landed. On a multi-executor
+        cluster a lost N+1 cache partition would recompute through N's
+        (nondeterministic) fetch — pin persist(StorageLevel with
+        replication) or checkpoint the remainder there; in local mode
+        eviction goes to disk, never recompute."""
+        if not pipeline:
+            out = []
+            for _ in range(max_waves):
+                m = self.step()
+                if m is None:
+                    break
+                out.append(m)
+                if self.compact_every and m["wave"] % self.compact_every == 0:
+                    self.compact()
+            return out
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        out: list[dict] = []
+        pending = self._refiltered_pending()
+        commit_fut = None
+        prev_ctx = None
+        with ThreadPoolExecutor(max_workers=1) as commit_pool:
+            for _ in range(max_waves):
+                if pending is None:
+                    break
+                ctx = self._fetch_phase(pending)
+                # wave N's commits (if any) ran while the fetch above
+                # executed; barrier on them before committing this wave
+                if commit_fut is not None:
+                    out.append(commit_fut.result())
+                    prev_ctx["results"].unpersist()
+                    prev_ctx["work"].unpersist()
+                    if self.compact_every and out[-1]["wave"] % self.compact_every == 0:
+                        self.compact()
+                if ctx["n_dispatched"] == 0:
+                    self.pending.overwrite(ctx["deferred"])
+                    ctx["results"].unpersist()
+                    ctx["work"].unpersist()
+                    commit_fut, prev_ctx = None, None
+                    break
+                # safe to read len(metrics): the barrier above guarantees
+                # the previous _commit_phase (which appends) has finished
+                wave_no = len(self.metrics) + 1
+                commit_fut = commit_pool.submit(self._commit_phase, wave_no, ctx)
+                prev_ctx = ctx
+                # chain in-memory: fetched rows are already excluded
+                # from next_pending by the state split. localCheckpoint
+                # truncates the logical plan at the wave boundary —
+                # without it the fetch join doubles the chained plan
+                # every wave (exponential analysis cost, plan-string
+                # OOM after ~30 waves). Lazily materialized by wave
+                # N+1's counts job, before wave N's caches release.
+                pending = ctx["next_pending"].localCheckpoint(eager=False)
+            if commit_fut is not None:
+                out.append(commit_fut.result())
+                prev_ctx["results"].unpersist()
+                prev_ctx["work"].unpersist()
         return out
 
     # ---- outputs -----------------------------------------------------------
