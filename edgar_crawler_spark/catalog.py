@@ -676,6 +676,87 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+# the minhash-LSH pair CTEs shared by the components/representatives
+# oracles (identical text to SQL_DEDUP_MINHASH_LSH's tail)
+_SQL_LSH_PAIRS = f"""
+{_SQL_MINHASH_SIGS},
+banded AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, seed // 2),
+capped AS (
+  SELECT * FROM banded
+  WHERE (band, band_key) IN (
+    SELECT (band, band_key) FROM banded GROUP BY band, band_key HAVING COUNT(*) <= 64)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+comps AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+"""
+
+
+def q_dedup_components(spark, sf):
+    """near-dup clustering: LSH pairs → connected components."""
+    pairs = dedup.minhash_lsh_pairs(t(spark, sf, "documents"))
+    return dedup.connected_components(pairs)
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_TOKS},
+{_SQL_LSH_PAIRS}
+SELECT node, component FROM comps
+"""
+
+
+def q_dedup_representatives(spark, sf):
+    """documents surviving near-dup removal (component minimum kept)."""
+    docs = t(spark, sf, "documents")
+    return dedup.dedup_representatives(docs, dedup.minhash_lsh_pairs(docs))
+
+
+SQL_DEDUP_REPRESENTATIVES = f"""
+WITH RECURSIVE {_SQL_TOKS},
+{_SQL_LSH_PAIRS}
+SELECT d.* FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comps WHERE node <> component)
+"""
+
+
+def q_sample_hash_bucket(spark, sf):
+    from edgar_crawler_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(t(spark, sf, "documents"), "doc_id", 100)
+
+
+SQL_SAMPLE_HASH_BUCKET = f"""
+SELECT * FROM documents WHERE {h48_sql("CAST(doc_id AS VARCHAR)")} % 1000 < 100
+"""
+
+
+def q_sample_stratified(spark, sf):
+    from edgar_crawler_spark.operators.sampling import stratified_topk
+
+    return stratified_topk(t(spark, sf, "documents"), "lang", "doc_id", 5)
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY {h48_sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn
+  FROM documents)
+WHERE rn <= 5
+"""
+
+
 _JACCARD_MAX_DF = 450  # > max df at sf0.01 (402): cap ACTIVE but pair-neutral
 
 
@@ -1125,6 +1206,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_near_dup_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_connected_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "dedup_keep_representatives": (q_dedup_representatives, SQL_DEDUP_REPRESENTATIVES),
+    "sample_hash_bucket": (q_sample_hash_bucket, SQL_SAMPLE_HASH_BUCKET),
+    "sample_stratified_topk": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "ann_bruteforce_topk": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),

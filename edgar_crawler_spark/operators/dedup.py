@@ -271,6 +271,82 @@ def simhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) over the near-duplicate pair graph —
+    component = the minimum node id reachable from each node. This is
+    the clustering step of production dedup: pair candidates →
+    components → keep one representative per component.
+
+    Iterative min-label propagation: each round every node takes
+    min(own label, neighbors' labels) — one shuffle join + one
+    map-side-combined groupBy per round, converging in O(graph
+    diameter) rounds (near-dup clusters are shallow; a 25-round cap is
+    generous). Labels are localCheckpoint-truncated every round so the
+    plan stays O(1) instead of growing with iterations. Convergence is
+    detected by a changed-row count, so the loop stops early on real
+    data."""
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .dropDuplicates()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(edges["src"].alias("node2"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_representatives(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Documents surviving near-dup removal: drop every pair-graph
+    member that is not its component's minimum id; rows in no pair are
+    singletons and survive. One anti-join against the (small) member
+    list — the documents table is never shuffled."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash) — classic Charikar sketch over token hashes:
     bit b of the sketch = majority of bit b across H48(token).

@@ -1,0 +1,66 @@
+"""Connected-components dedup clustering + deterministic sampling."""
+
+import pyspark.sql.functions as F
+
+from edgar_crawler_spark.operators.dedup import (
+    connected_components,
+    dedup_representatives,
+)
+from edgar_crawler_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_topk,
+)
+
+
+def test_connected_components_chain_converges(spark):
+    """A 9-node chain has diameter 8 — label propagation must iterate
+    past one round, and every node must land in the min-id component."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)] + [(100, 101), (103, 101)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert all(got[i] == 0 for i in range(9))
+    assert got[100] == got[101] == got[103] == 100
+
+
+def test_connected_components_two_clusters_and_order_insensitivity(spark):
+    pairs = spark.createDataFrame(
+        [("d9", "d2"), ("d2", "d5"), ("d7", "d8")], "doc_a string, doc_b string"
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {"d9": "d2", "d2": "d2", "d5": "d2", "d7": "d7", "d8": "d7"}
+
+
+def test_dedup_representatives_keeps_min_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "doc_a long, doc_b long")
+    kept = sorted(r.doc_id for r in dedup_representatives(docs, pairs).collect())
+    # component {1,4,5} -> keep 1; 0,2,3 are singletons
+    assert kept == [0, 1, 2, 3]
+
+
+def test_deterministic_sample_reproducible_and_proportional(spark):
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = sorted(r.doc_id for r in deterministic_sample(docs, "doc_id", 100).collect())
+    b = sorted(r.doc_id for r in deterministic_sample(docs, "doc_id", 100).collect())
+    assert a == b  # exactly reproducible
+    assert 0.06 < len(a) / 2000 < 0.14  # ~10%
+    # supersampling is monotone: the 10% sample nests inside the 20%
+    big = set(r.doc_id for r in deterministic_sample(docs, "doc_id", 200).collect())
+    assert set(a) <= big
+
+
+def test_stratified_topk_exact_k_per_group(spark):
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(300)],
+        "doc_id long, lang string",
+    )
+    out = stratified_topk(docs, "lang", "doc_id", 7)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 7, "de": 7, "fr": 7}
+    # deterministic across runs
+    again = stratified_topk(docs, "lang", "doc_id", 7)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
