@@ -100,6 +100,49 @@ def bench_fetch_job(spark, n: int, n_hosts: int = 4096) -> dict:
     }
 
 
+def bench_extraction(spark) -> dict:
+    """Distributed extraction throughput (docs/s) over the reference's
+    553-file 8-K golden corpus via extract_records (mapInPandas). The
+    reference's envelope is ProcessPool(processes=1) — one document at
+    a time (extract_items.py:1255)."""
+    import zipfile
+
+    import numpy as np
+    import pandas as pd
+
+    fix = "/root/reference/tests/fixtures"
+    try:
+        meta_df = pd.read_csv(f"{fix}/FILINGS_METADATA_TEST.csv", dtype=str)
+        zr = zipfile.ZipFile(f"{fix}/RAW_FILINGS/8-K.zip")
+    except (FileNotFoundError, OSError):
+        return {"skipped": "reference fixtures unavailable"}
+    from edgar_crawler_spark.extract.spark_extract import extract_records
+
+    meta_df = meta_df[meta_df["Type"] == "8-K"].replace({np.nan: None})
+    meta = {r["filename"]: dict(r) for _, r in meta_df.iterrows()}
+    rows = []
+    for name in zr.namelist():
+        if not name.endswith((".htm", ".txt")):
+            continue
+        fname = name.split("/", 1)[1]
+        if fname not in meta:
+            continue
+        md = dict(meta[fname])
+        md["content"] = zr.read(name).decode("utf-8", "backslashreplace")
+        rows.append(md)
+    df = spark.createDataFrame(pd.DataFrame(rows)).persist()
+    n = df.count()
+    t0 = time.time()
+    extract_records(df, remove_tables=True).write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    df.unpersist()
+    return {
+        "n_docs": n,
+        "wall_s": round(wall, 3),
+        "docs_per_s": round(n / wall, 1) if wall > 0 else 0.0,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -133,7 +176,9 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
 
+    bench_frontier(spark, 2000)  # python-worker/imaging warmup (steady-state measure)
     frontier = bench_frontier(spark, FRONTIER_URLS)
+    extraction = bench_extraction(spark)
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -146,6 +191,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
                 "frontier": frontier,
+                "extraction": extraction,
             }
         )
     )

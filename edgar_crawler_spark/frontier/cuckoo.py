@@ -129,10 +129,7 @@ class CuckooFilterTable:
     ) -> "CuckooFilterTable":
         if expected_per_shard is None:
             expected_per_shard = max(1, seen.count() // num_shards + 1)
-        # 4 slots/bucket at ~80% load factor, rounded up to a power of
-        # two (the alt-bucket XOR requires it)
-        need = max(8, int(expected_per_shard / (SLOTS * 0.8)) + 1)
-        n_buckets = 1 << (need - 1).bit_length()
+        n_buckets = CuckooFilterTable.buckets_for(expected_per_shard)
 
         def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
@@ -159,6 +156,13 @@ class CuckooFilterTable:
         return CuckooFilterTable(
             sharded.groupBy("shard").applyInPandas(build_shard, _CUCKOO_SCHEMA), num_shards
         )
+
+    @staticmethod
+    def buckets_for(expected_per_shard: int) -> int:
+        """4 slots/bucket at ~80% load, rounded up to a power of two
+        (the alt-bucket XOR requires it)."""
+        need = max(8, int(expected_per_shard / (SLOTS * 0.8)) + 1)
+        return 1 << (need - 1).bit_length()
 
     def maybe_contains(self, candidates: DataFrame, hash_col: str = "url_hash") -> DataFrame:
         out_schema = StructType(
@@ -187,3 +191,132 @@ class CuckooFilterTable:
             .cogroup(self.df.groupBy("shard"))
             .applyInPandas(check, out_schema)
         )
+
+
+class PersistedCuckooTable:
+    """Incrementally-maintained cuckoo filter — the deletable sibling
+    of seen.PersistedBloomTable, with the identical wave-commit
+    contract (update strictly before the seen append → filter ⊇ seen;
+    the seen parquet is scanned only on rebuild). The extra capability
+    is ``delete``: when a fetched URL is invalidated and requeued, its
+    fingerprint is removed so the filter tracks the seen set exactly —
+    a Bloom filter can only accumulate."""
+
+    def __init__(
+        self,
+        table,
+        num_shards: int = 32,
+        expected_per_shard: int = 1 << 17,
+    ):
+        self.table = table
+        self.num_shards = num_shards
+        self.expected_per_shard = expected_per_shard
+
+    def read_filter(self, spark) -> CuckooFilterTable | None:
+        df = self.table.read(spark)
+        return CuckooFilterTable(df, self.num_shards) if df is not None else None
+
+    def _sharded(self, new: DataFrame, hash_col: str) -> DataFrame:
+        return new.select(
+            F.col(hash_col).alias("h"),
+            F.pmod(F.col(hash_col), F.lit(self.num_shards)).cast("int").alias("shard"),
+        )
+
+    def _apply(self, new: DataFrame, hash_col: str, metrics, mode: str) -> int:
+        spark = new.sparkSession
+        cur = self.table.read(spark)
+        default_buckets = CuckooFilterTable.buckets_for(self.expected_per_shard)
+
+        def mutate(new_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(filt_pdf):
+                row = filt_pdf.iloc[0]
+                shard = int(row["shard"])
+                n_buckets = int(row["n_buckets"])
+                filt = _ShardFilter(n_buckets)
+                filt.table = (
+                    np.frombuffer(row["table"], dtype=np.uint16)
+                    .reshape(-1, SLOTS)
+                    .copy()
+                )
+                filt.overflow = bool(row["overflow"])
+                n_items = int(row["n_items"])
+            else:
+                shard = int(new_pdf["shard"].iloc[0])
+                n_buckets = default_buckets
+                filt = _ShardFilter(n_buckets)
+                n_items = 0
+            rng = np.random.default_rng(42 + shard)
+            for h in new_pdf["h"].to_numpy(np.int64):
+                if mode == "insert":
+                    filt.insert(int(h), rng)
+                    n_items += 1
+                else:
+                    if filt.delete(int(h)):
+                        n_items -= 1
+            return pd.DataFrame(
+                [
+                    {
+                        "shard": shard,
+                        "table": filt.table.tobytes(),
+                        "n_buckets": n_buckets,
+                        "n_items": n_items,
+                        "overflow": filt.overflow,
+                    }
+                ]
+            )
+
+        sharded = self._sharded(new, hash_col)
+        if cur is None:
+            merged = sharded.groupBy("shard").applyInPandas(
+                lambda pdf: mutate(pdf, pd.DataFrame()), _CUCKOO_SCHEMA
+            )
+        else:
+            merged = (
+                sharded.groupBy("shard")
+                .cogroup(cur.groupBy("shard"))
+                .applyInPandas(mutate, _CUCKOO_SCHEMA)
+            )
+        return self.table.overwrite(merged, metrics=metrics)
+
+    def update(self, new: DataFrame, hash_col: str = "url_hash", metrics: dict | None = None) -> int:
+        """Insert the new hashes into the persisted shard tables."""
+        return self._apply(new, hash_col, metrics, "insert")
+
+    def delete(self, gone: DataFrame, hash_col: str = "url_hash", metrics: dict | None = None) -> int:
+        """Remove fingerprints for invalidated URLs (requeue path)."""
+        return self._apply(gone, hash_col, metrics, "delete")
+
+    def max_load(self, spark) -> float:
+        df = self.table.read(spark)
+        if df is None:
+            return 0.0
+        # overflowed shards degrade to all-maybe — force a rebuild
+        row = df.agg(
+            F.max("n_items").alias("n"), F.max(F.col("overflow").cast("int")).alias("ov")
+        ).first()
+        if row["ov"]:
+            return float("inf")
+        return float(row["n"] or 0) / float(self.expected_per_shard)
+
+    def rebuild(
+        self,
+        seen: DataFrame,
+        hash_col: str = "url_hash",
+        expected_per_shard: int | None = None,
+        metrics: dict | None = None,
+    ) -> int:
+        if expected_per_shard is not None:
+            self.expected_per_shard = expected_per_shard
+        else:
+            n = seen.count()
+            self.expected_per_shard = max(
+                self.expected_per_shard * 2, 2 * (n // self.num_shards + 1)
+            )
+        built = CuckooFilterTable.build(
+            seen,
+            hash_col=hash_col,
+            num_shards=self.num_shards,
+            expected_per_shard=self.expected_per_shard,
+        )
+        m = {"rebuild": True, **(metrics or {})}
+        return self.table.overwrite(built.df, metrics=m)

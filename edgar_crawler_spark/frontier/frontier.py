@@ -90,13 +90,22 @@ class CrawlFrontier:
         self.pending = SnapshotTable(os.path.join(workdir, "pending"))
         self.log = SnapshotTable(os.path.join(workdir, "log"))
         self.payload = SnapshotTable(os.path.join(workdir, "payload"))
-        # incrementally-maintained Bloom bitsets (VERDICT r01 item 3):
-        # per-wave cost = OR-in of the new hashes only; the seen parquet
-        # is scanned only on rebuild (overload / compaction)
-        self.seen_filter = PersistedBloomTable(
-            SnapshotTable(os.path.join(workdir, "seenfilter")),
-            num_shards=bloom_shards,
-        )
+        # incrementally-maintained pre-filter (VERDICT r01 item 3):
+        # per-wave cost = insert of the new hashes only; the seen
+        # parquet is scanned only on rebuild (overload / compaction).
+        # Both kinds share the update/read_filter/max_load/rebuild
+        # contract; cuckoo additionally supports delete (requeue path).
+        filter_snapshot = SnapshotTable(os.path.join(workdir, "seenfilter"))
+        if filter_kind == "cuckoo":
+            from edgar_crawler_spark.frontier.cuckoo import PersistedCuckooTable
+
+            self.seen_filter = PersistedCuckooTable(
+                filter_snapshot, num_shards=bloom_shards
+            )
+        else:
+            self.seen_filter = PersistedBloomTable(
+                filter_snapshot, num_shards=bloom_shards
+            )
         self.metrics: list[dict] = []
         self._recover()
 
@@ -119,14 +128,10 @@ class CrawlFrontier:
                 )
 
     def _bloom_prefilter(self, seen_df: DataFrame):
-        """The candidate pre-filter: persisted Bloom (read, not
-        rebuilt), cuckoo (built per call — deletable variant), or None."""
+        """The candidate pre-filter: the persisted filter table (read,
+        never rebuilt on the submit path), or None when disabled."""
         if not self.use_bloom:
             return None
-        if self.filter_kind == "cuckoo":
-            from edgar_crawler_spark.frontier.cuckoo import CuckooFilterTable
-
-            return CuckooFilterTable.build(seen_df, num_shards=self.bloom_shards)
         pf = self.seen_filter.read_filter(self.spark)
         if pf is None and seen_df is not None:
             # migration path: seen exists but no filter table yet —
@@ -151,9 +156,43 @@ class CrawlFrontier:
         n = rows.count()
         if n:
             # filter before seen: preserves the filter ⊇ seen invariant
-            if self.use_bloom and self.filter_kind == "bloom":
+            if self.use_bloom:
                 self.seen_filter.update(rows, metrics={"bootstrap": n})
             self.seen.append(rows, metrics={"bootstrap": n})
+        return n
+
+    def invalidate(self, urls: DataFrame, url_col: str = "html_index") -> int:
+        """Remove URLs from the seen set so they can be re-crawled
+        (content invalidated / requeue). Seen is rewritten without the
+        rows FIRST (keeps filter ⊇ seen through a crash: the stale
+        fingerprint is a harmless false positive), then the cuckoo
+        filter deletes their fingerprints so the filter tracks seen
+        exactly — the Bloom kind simply keeps the stale bits (extra FP
+        cost, same correctness via the exact recheck). Administrative
+        op: the seen rewrite is a full-table commit — batch
+        invalidations, don't loop them."""
+        ids = (
+            with_url_identity(urls, url_col)
+            .select("url_hash", "canonical_url")
+            .dropDuplicates()
+        )
+        seen_df = self.seen.read(self.spark)
+        if seen_df is None:
+            return 0
+        ids = ids.join(
+            seen_df.select("url_hash", "canonical_url"),
+            on=["url_hash", "canonical_url"],
+            how="left_semi",
+        ).persist()
+        n = ids.count()
+        if n:
+            remaining = seen_df.join(
+                ids, on=["url_hash", "canonical_url"], how="left_anti"
+            )
+            self.seen.overwrite(remaining, metrics={"invalidated": n})
+            if self.use_bloom and hasattr(self.seen_filter, "delete"):
+                self.seen_filter.delete(ids, metrics={"invalidated": n})
+        ids.unpersist()
         return n
 
     def submit(self, seed: DataFrame, url_col: str = "html_index") -> int:
@@ -205,7 +244,7 @@ class CrawlFrontier:
         if seen_df is not None:
             bloom = (
                 self.seen_filter.read_filter(self.spark)
-                if self.use_bloom and self.filter_kind == "bloom"
+                if self.use_bloom
                 else None
             )
             pending = url_seen_anti_join(pending, seen_df, bloom=bloom)
@@ -316,7 +355,7 @@ class CrawlFrontier:
             # seen invariant) — it is independent of log/payload, so it
             # runs concurrently with them; it touches only the bitset
             # table, never the seen parquet
-            if self.use_bloom and self.filter_kind == "bloom":
+            if self.use_bloom:
                 futures.append(
                     pool.submit(
                         self.seen_filter.update,
