@@ -881,6 +881,52 @@ WHERE rnk <= 5
 SQL_ANN_IVF = _ivf_sql()
 
 
+_IVF_NPROBE = 3
+
+
+def q_ann_ivf_nprobe(spark, sf):
+    """IVF with multi-cell probing (the recall knob): queries probe
+    their 3 best cells instead of 1."""
+    return similarity.ivf_topk(
+        t(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=5, nprobe=_IVF_NPROBE
+    )
+
+
+def _ivf_nprobe_sql(nprobe: int) -> str:
+    cents = similarity.ivf_centroids(8, 64)
+    arrs = ["[" + ", ".join(f"{float(x):.1f}" for x in c) + "]::DOUBLE[]" for c in cents]
+    cent_rows = ", ".join(f"({j}, {a})" for j, a in enumerate(arrs))
+    dots = [f"list_inner_product(v, {a})" for a in arrs]
+    best = "GREATEST(" + ", ".join(dots) + ")"
+    cell = "CASE " + " ".join(
+        f"WHEN {dots[j]} = {best} THEN {j}" for j in range(len(dots) - 1)
+    ) + f" ELSE {len(dots) - 1} END"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ec AS (SELECT vec_id, v, {cell} AS cell FROM e),
+cents(j, cv) AS (VALUES {cent_rows}),
+qdots AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, c.j AS cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_inner_product(e.v, c.cv) DESC, c.j ASC) AS r
+  FROM e CROSS JOIN cents c
+  WHERE e.vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
+q AS (SELECT query_id, qv, cell FROM qdots WHERE r <= {nprobe}),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_inner_product(qv, c.v) /
+           (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+  FROM q JOIN ec c USING (cell) WHERE query_id != c.vec_id)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, ROUND(cos, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+"""
+
+
+SQL_ANN_IVF_NPROBE = _ivf_nprobe_sql(_IVF_NPROBE)
+
+
 def q_emb_near_dup(spark, sf):
     return similarity.embedding_near_dup_pairs(t(spark, sf, "embeddings"), threshold=0.25)
 
@@ -1213,6 +1259,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_bruteforce_topk": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_ivf_nprobe_topk": (q_ann_ivf_nprobe, SQL_ANN_IVF_NPROBE),
     "emb_near_dup_pairs": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_quality_score": (q_text_quality, SQL_TEXT_QUALITY),

@@ -125,6 +125,23 @@ def _cell_col(vec: Column, cents: list[list[int]]) -> Column:
     return cell
 
 
+def _probe_cells_col(vec: Column, cents: list[list[int]], nprobe: int) -> Column:
+    """Array of the nprobe best cell ids for a query vector, ranked by
+    centroid dot product (ties → lower index), as a JVM-side
+    sort_array over (−dot, index) structs — no Python."""
+    entries = F.array(
+        *[
+            F.struct(
+                (-_dot(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("nd"),
+                F.lit(j).cast("int").alias("j"),
+            )
+            for j, c in enumerate(cents)
+        ]
+    )
+    ranked = F.sort_array(entries)  # ascending (−dot, j) == dot desc, j asc
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["j"])
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -132,17 +149,24 @@ def ivf_topk(
     n_cells: int = 8,
     dim: int = 64,
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest
-    centroid cell; a query probes only its own cell (nprobe=1). At
-    scale the cell id is the shuffle/bucketing key — the cross join
-    becomes a key-equality join, exactly like the LSH path but with a
-    learned/structured quantizer. Same output shape as
-    brute_force_topk."""
+    centroid cell; a query probes its ``nprobe`` best cells (the
+    standard recall knob — nprobe=n_cells degrades gracefully to
+    brute force). At scale the cell id is the shuffle/bucketing key —
+    the cross join becomes a key-equality join, exactly like the LSH
+    path but with a learned/structured quantizer; probing explodes
+    each QUERY nprobe× (queries are the small side), candidates keep
+    one cell each, so a (query, candidate) pair appears at most once
+    and needs no dedup. Same output shape as brute_force_topk."""
     cents = ivf_centroids(n_cells, dim)
     withc = emb.withColumn("cell", _cell_col(F.col(vec_col), cents))
-    q = withc.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+    queries = emb.filter(F.col("vec_id").isin(query_ids))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_probe_cells_col(F.col(vec_col), cents, nprobe)).alias("cell"),
     )
     c = withc.select(F.col("vec_id").alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
     scored = (

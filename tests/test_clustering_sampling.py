@@ -64,3 +64,27 @@ def test_stratified_topk_exact_k_per_group(spark):
     # deterministic across runs
     again = stratified_topk(docs, "lang", "doc_id", 7)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    """nprobe is the recall knob: recall vs brute force must be
+    monotone in nprobe, and nprobe=n_cells recovers brute force."""
+    from edgar_crawler_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4, 5, 6, 7]
+    truth = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qids, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, qids, k=5, nprobe=nprobe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r3, r8 = recall(1), recall(3), recall(8)
+    assert r1 <= r3 <= r8
+    assert r8 == 1.0  # probing every cell IS brute force
+    assert r3 > r1 or r1 == 1.0  # the knob actually does something here
