@@ -58,6 +58,58 @@ GROUP BY l_returnflag
 """
 
 
+# S4's oracle body: a deterministic master.idx-shaped literal (the
+# parse kernel is data-scale-independent; the oracle re-implements the
+# header-skip / pipe-split / html_index derivation in pure SQL)
+_S4_YEAR, _S4_Q, _S4_N = 2022, 1, 200
+
+
+def q_s4_index_parse(spark, sf):
+    """S4: master.idx body → 14-column rows with line-offset row_seq
+    (parallelism-independent), checked against a pure-SQL re-parse."""
+    from edgar_crawler_spark.sources.index_source import (
+        parse_master_idx,
+        synth_master_idx_body,
+    )
+
+    body = synth_master_idx_body(_S4_YEAR, _S4_Q, _S4_N)
+    files = spark.createDataFrame(
+        [(_S4_YEAR, _S4_Q, body)], "year int, quarter int, body string"
+    )
+    return parse_master_idx(spark, files).select(
+        "cik", "company", "type", "date",
+        "complete_text_file_link", "html_index", "row_seq",
+    )
+
+
+def _s4_sql() -> str:
+    from edgar_crawler_spark.sources.index_source import synth_master_idx_body
+
+    body = synth_master_idx_body(_S4_YEAR, _S4_Q, _S4_N).replace("'", "''")
+    return f"""
+WITH lines AS (
+  SELECT ln AS line, (idx - 1) - 11 AS row_seq
+  FROM (SELECT unnest(string_split('{body}', chr(10))) AS ln,
+               generate_subscripts(string_split('{body}', chr(10)), 1) AS idx)
+  WHERE idx > 11),
+parts AS (
+  SELECT string_split(line, '|') AS p, row_seq FROM lines
+  WHERE len(string_split(line, '|')) >= 5)
+SELECT trim(p[1]) AS cik, trim(p[2]) AS company, trim(p[3]) AS type,
+       trim(p[4]) AS date,
+       'https://www.sec.gov/Archives/' || trim(p[5]) AS complete_text_file_link,
+       'https://www.sec.gov/Archives/' ||
+         CASE WHEN trim(p[5]) LIKE '%.txt'
+              THEN substring(trim(p[5]), 1, length(trim(p[5])) - 4) || '-index.html'
+              ELSE trim(p[5]) END AS html_index,
+       CAST(row_seq AS BIGINT) AS row_seq
+FROM parts
+"""
+
+
+SQL_S4_INDEX_PARSE = _s4_sql()
+
+
 def q_p1_url_prefix(spark, sf):
     """P1: constant-prefix projection (download_filings.py:443-448)."""
     part = t(spark, sf, "part")
@@ -1222,6 +1274,7 @@ def q_extract_records(spark, sf):
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "flagship_frontier_pipeline": (flagship, SQL_FLAGSHIP),
     "s2_date_guard": (q_s2_date_guard, SQL_S2),
+    "s4_index_parse": (q_s4_index_parse, SQL_S4_INDEX_PARSE),
     "p1_url_prefix": (q_p1_url_prefix, SQL_P1),
     "p2_type_filter": (q_p2_type_filter, SQL_P2),
     "p3_semi_filter": (q_p3_semi_filter, SQL_P3),

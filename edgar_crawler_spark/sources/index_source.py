@@ -233,6 +233,24 @@ def download_quarterly_indices(
     return parse_master_idx(spark, bodies), fetched
 
 
+def synth_zip_fetcher(rows_per_quarter: int = 400):
+    """Network stand-in for the S1 index fetch: serves a deterministic
+    synthetic master.zip for any EDGAR full-index URL (same fetcher
+    contract as http_fetcher_factory — the retry/throttle protocol and
+    zip/latin-1 plumbing run for real, only the socket is fake)."""
+    import re
+
+    pat = re.compile(r"/full-index/(\d{4})/QTR(\d)/master\.zip$")
+
+    def fetch(url: str, attempt: int):
+        m = pat.search(url)
+        if not m:
+            return 404, None, None
+        return 200, synth_master_idx_zip(int(m.group(1)), int(m.group(2)), rows_per_quarter), None
+
+    return fetch
+
+
 def synth_master_idx_zip(year: int, quarter: int, n: int) -> bytes:
     """master.zip-shaped fixture: the synthetic idx body zipped under
     the EDGAR member name (for loopback-HTTP and unit tests)."""
@@ -252,7 +270,9 @@ def synth_master_idx_body(year: int, quarter: int, n: int, n_hosts: int = 0) -> 
     rows = []
     for i in range(n):
         cik = 100000 + i % 997
-        acc = f"{cik:0>10}-{str(year)[2:]}-{i:06d}"
+        # quarter baked into the accession so multi-quarter worklists
+        # yield distinct URLs (the real EDGAR never repeats accessions)
+        acc = f"{cik:0>10}-{str(year)[2:]}-{quarter}{i:05d}"
         ftype = ["10-K", "10-Q", "8-K"][i % 3]
         rows.append(
             f"{cik}|COMPANY {i} INC|{ftype}|{year}-0{quarter}-15|edgar/data/{cik}/{acc}.txt"

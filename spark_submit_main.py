@@ -60,6 +60,12 @@ def main() -> None:
         "hygiene on long crawls; default off)",
     )
     ap.add_argument("--real-network", action="store_true")
+    ap.add_argument(
+        "--synth-rows-per-quarter",
+        type=int,
+        default=400,
+        help="rows per synthetic master.idx in config-driven sandbox mode",
+    )
     ap.add_argument("--user-agent", default="edgar-crawler-spark admin@example.com")
     args = ap.parse_args()
 
@@ -111,8 +117,8 @@ def main() -> None:
         print(json.dumps(plan))
         return
 
-    if not args.seed_parquet:
-        raise SystemExit("--seed-parquet is required unless --plan-only")
+    if not args.seed_parquet and dl_cfg is None:
+        raise SystemExit("need --seed-parquet, --config, or year/quarter flags")
 
     fetcher = stub_fetcher
     virtual_clock = True
@@ -131,10 +137,72 @@ def main() -> None:
         wave_quota=args.wave_quota,
         compact_every=args.compact_every,
     )
-    seed = spark.read.parquet(args.seed_parquet)
+    report: dict = {}
+    if args.seed_parquet:
+        seed = spark.read.parquet(args.seed_parquet)
+    else:
+        # config-driven end-to-end (the reference's download_filings run):
+        # worklist → master.zip fetch+unzip+parse (S1–S4) → type/CIK
+        # filters (P2/P3) → frontier. Without --real-network the index
+        # fetcher serves deterministic synthetic zips (same politeness +
+        # retry protocol, zero network).
+        from edgar_crawler_spark.config import apply_filing_filters, config_worklist, split_cik_tickers
+        from edgar_crawler_spark.sources.index_source import (
+            download_quarterly_indices,
+            synth_zip_fetcher,
+        )
+
+        wl = config_worklist(spark, dl_cfg, as_of=args.as_of)
+        idx_fetcher = (
+            http_fetcher_factory(dl_cfg.get("user_agent") or args.user_agent)
+            if args.real_network
+            else synth_zip_fetcher(args.synth_rows_per_quarter)
+        )
+        index_rows, status = download_quarterly_indices(
+            spark, wl, idx_fetcher, virtual_clock=virtual_clock
+        )
+        ciks, tickers = split_cik_tickers(dl_cfg.get("cik_tickers"))
+        ticker_dim = None
+        if tickers and args.real_network:
+            ticker_dim = _fetch_ticker_dim(
+                spark, dl_cfg.get("user_agent") or args.user_agent
+            )
+        if tickers and ticker_dim is None:
+            # sandbox mode can't resolve tickers — report, filter on CIKs only
+            report["unresolved_tickers"] = tickers
+            cfg_no_tickers = dict(dl_cfg, cik_tickers=ciks or None)
+            seed = apply_filing_filters(index_rows, cfg_no_tickers)
+        else:
+            seed = apply_filing_filters(index_rows, dl_cfg, ticker_dim=ticker_dim)
+        report["index_fetch"] = [
+            {"year": r.year, "quarter": r.quarter, "state": r.state}
+            for r in status.select("year", "quarter", "state").collect()
+        ]
+        status.unpersist()
+
     admitted = fr.submit(seed)
     waves = fr.run(max_waves=args.max_waves)
-    print(json.dumps({"admitted": admitted, "waves": waves}))
+    print(json.dumps({"admitted": admitted, "waves": waves, **report}))
+
+
+def _fetch_ticker_dim(spark, user_agent: str):
+    """S5 over the real network: company_tickers.json → broadcast dim."""
+    import tempfile
+
+    import requests
+
+    r = requests.get(
+        "https://www.sec.gov/files/company_tickers.json",
+        headers={"User-agent": user_agent},
+        timeout=30,
+    )
+    r.raise_for_status()
+    with tempfile.NamedTemporaryFile("wb", suffix=".json", delete=False) as f:
+        f.write(r.content)
+        path = f.name
+    from edgar_crawler_spark.sources.dims import ticker_cik_dim
+
+    return ticker_cik_dim(spark, json_path=path)
 
 
 if __name__ == "__main__":
