@@ -88,3 +88,43 @@ def test_ivf_nprobe_recall_monotone(spark):
     assert r1 <= r3 <= r8
     assert r8 == 1.0  # probing every cell IS brute force
     assert r3 > r1 or r1 == 1.0  # the knob actually does something here
+
+
+def test_connected_components_vs_union_find(spark):
+    """Randomized cross-check against a pure-python union-find on 6
+    seeded graphs (driver-side oracle, no Spark in the reference)."""
+    import random
+
+    def uf_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups = {}
+        for n in nodes:
+            groups.setdefault(find(n), []).append(n)
+        return {n: min(g) for g in groups.values() for n in g}
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n_nodes = rng.randint(5, 40)
+        n_edges = rng.randint(1, 60)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        nodes = sorted({x for e in edges for x in e})
+        expected = uf_components(edges, nodes)
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.node: r.component for r in connected_components(pairs).collect()}
+        assert got == expected, f"seed={seed}"
