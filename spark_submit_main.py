@@ -66,6 +66,11 @@ def main() -> None:
         default=400,
         help="rows per synthetic master.idx in config-driven sandbox mode",
     )
+    ap.add_argument(
+        "--metadata-csv",
+        help="after the crawl, write the fetch log as a reference-shaped "
+        "FILINGS_METADATA.csv directory (stage-1 output parity)",
+    )
     ap.add_argument("--user-agent", default="edgar-crawler-spark admin@example.com")
     args = ap.parse_args()
 
@@ -182,6 +187,25 @@ def main() -> None:
 
     admitted = fr.submit(seed)
     waves = fr.run(max_waves=args.max_waves)
+
+    if args.metadata_csv:
+        log = fr.fetch_log()
+        if log is not None:
+            import pyspark.sql.functions as F
+
+            from edgar_crawler_spark.sources.dims import (
+                METADATA_CSV_COLUMNS,
+                write_metadata_csv,
+            )
+
+            # engine column names (lowercase) → the reference's CSV headers
+            renames = {c.lower().replace(" ", "_"): c for c in METADATA_CSV_COLUMNS}
+            out = log.select(
+                *[F.col(low).alias(ref) for low, ref in renames.items()]
+            )
+            write_metadata_csv(out, args.metadata_csv)
+            report["metadata_csv"] = args.metadata_csv
+
     print(json.dumps({"admitted": admitted, "waves": waves, **report}))
 
 
