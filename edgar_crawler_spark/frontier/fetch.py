@@ -291,6 +291,14 @@ def fetch_wave(
         "host", order_col
     )
     results = partitioned.mapInPandas(run, slim_schema)
-    joined = frontier.join(results, on=["url_hash", "canonical_url"], how="inner")
+    # SHUFFLE_HASH, never broadcast: the results side carries payload
+    # BYTES — Catalyst's size estimate for a Python-map node is wildly
+    # low, and at 10^6+ URLs the resulting BroadcastExchange collects
+    # ~1 GB of images to the driver (maxResultSize abort; observed at
+    # 1M URLs on local[32]). A shuffle-hash join moves each partition's
+    # bytes exactly once, builds the hash map executor-side, no sort.
+    joined = frontier.join(
+        results.hint("shuffle_hash"), on=["url_hash", "canonical_url"], how="inner"
+    )
     # restore the declared column order
     return joined.select(*[f.name for f in out_schema.fields])

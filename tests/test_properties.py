@@ -97,3 +97,27 @@ def test_bloom_positions_no_false_negatives(hashes):
     chk = _positions(arr, m, k)
     hit = (bits[(chk >> 3).astype(np.int64)] >> (chk & 7).astype(np.uint8)) & 1
     assert hit.all()
+
+
+def test_canonical_url_idempotent_and_hash_stable(spark):
+    """URL canonicalization must be idempotent — the seen-set identity
+    is xxhash64(canonical_url), so canonical(canonical(u)) != canonical(u)
+    would make a URL unequal to itself across runs."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.frontier.canonical import canonical_url_col
+
+    hosts = ["WWW.SEC.gov", "example.com:443", "h.test:80", "h.test:8080", "a.b.c"]
+    paths = [
+        "", "/", "/Archives/edgar/data/1/x.txt", "/a//b///c", "/a/b/",
+        "/a/b#frag", "/A/Case/Path", "/x?q=1#f", "//", "/trailing/",
+    ]
+    schemes = ["https://", "http://", "HTTPS://"]
+    urls = [s + h + p for s in schemes for h in hosts for p in paths]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonical_url_col("url").alias("c1"),
+        canonical_url_col(canonical_url_col("url")).alias("c2"),
+    ).collect()
+    bad = [(r.c1, r.c2) for r in out if r.c1 != r.c2]
+    assert not bad, f"non-idempotent canonicalization: {bad[:5]}"
