@@ -344,7 +344,10 @@ def dedup_representatives(
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return docs.join(losers, on=id_col, how="left_anti")
+    # shuffle-hash, never broadcast: losers is checkpoint-backed (no
+    # stats) and at dedup-heavy corpora it is O(duplicate docs) — the
+    # same mis-estimated-broadcast class as the fetch join-back
+    return docs.join(losers.hint("shuffle_hash"), on=id_col, how="left_anti")
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
