@@ -26,6 +26,7 @@ from edgar_crawler_spark.operators.relational import (
     argmax_per_group,
     cents,
     existence_semi_join,
+    global_topk,
     lookup_join,
     ranked_per_group,
     type_filter,
@@ -333,12 +334,12 @@ def q_a2_global_order(spark, sf):
     """A2: deterministic global crawl order → row_number over explicit
     sort key (download_filings.py:116-183)."""
     li = t(spark, sf, "lineitem")
-    w = Window.orderBy(
+    order = [
         F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
-    )
+    ]
     return (
-        li.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 20)
+        global_topk(li, order, 20, key="l_orderkey")
+        .withColumn("rnk", F.col("rnk").cast("long"))
         .select("rnk", "l_orderkey", "l_linenumber", cents(F.col("l_extendedprice")).alias("price_cents"))
     )
 
@@ -470,10 +471,10 @@ def q_tpch_q3_shape(spark, sf):
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
         cents(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents")
     )
-    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+    order = [F.col("revenue_cents").desc(), F.col("l_orderkey").asc()]
     return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
+        global_topk(agg, order, 10, key="l_orderkey")
+        .withColumn("rnk", F.col("rnk").cast("long"))
         .select("rnk", "l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"), "revenue_cents")
     )
 
@@ -1177,8 +1178,8 @@ FROM events GROUP BY event_type
 def q_ev_topk_users(spark, sf):
     e = t(spark, sf, "events")
     counts = e.groupBy("user_id").agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
-    return counts.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 10)
+    order = [F.col("n").desc(), F.col("user_id").asc()]
+    return global_topk(counts, order, 10, key="user_id").withColumn("rnk", F.col("rnk").cast("long"))
 
 
 SQL_EV_TOPK = """

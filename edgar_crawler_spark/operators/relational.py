@@ -103,3 +103,22 @@ def argmax_per_group(df: DataFrame, part: list[str], order: list) -> DataFrame:
     """A6: pick the single best row per group (the max-length match
     selection, extract_items.py:714-775, relationally)."""
     return ranked_per_group(df, part, order, "__r").filter(F.col("__r") == 1).drop("__r")
+
+
+def global_topk(df: DataFrame, order: list, k: int, key: str, rank_col: str = "rnk") -> DataFrame:
+    """Global top-k WITHOUT a single-partition window over the full table.
+
+    `orderBy().limit(k)` plans as TakeOrderedAndProject: each partition
+    keeps its local top-k and the driver merges k rows per partition — no
+    full-table shuffle to one task.  The rank is then derived by a window
+    over the already-k-row result.  The window's partition key is a
+    constant-valued but NON-foldable expression (`substring(key, 1, 0)` =
+    "" for every row) — a bare literal gets constant-folded out of the
+    spec and Spark then logs the degenerate-window warning even though
+    the input is k rows.  `key` must be a non-null column (use the
+    tie-break key), else null rows would form a second partition.
+    """
+    topk = df.orderBy(*order).limit(k)
+    sentinel = F.substring(F.col(key).cast("string"), 1, 0)
+    w = Window.partitionBy(sentinel).orderBy(*order)
+    return topk.withColumn(rank_col, F.row_number().over(w))
