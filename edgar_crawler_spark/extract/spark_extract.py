@@ -82,6 +82,70 @@ def extract_records(
     return raw.repartition(num_partitions).mapInPandas(run, RECORD_SCHEMA)
 
 
+JSON_RECORD_SCHEMA = StructType(
+    [
+        StructField("filename", StringType()),
+        StructField("filing_type", StringType()),
+        StructField("json", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def extract_json_records(
+    raw: DataFrame,
+    items_to_extract: list[str] | None = None,
+    remove_tables: bool = True,
+    include_signature: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Like :func:`extract_records` but emits the record pre-serialized
+    exactly as the reference writes it — ``json.dumps(indent=4,
+    ensure_ascii=False)`` (extract_items.py:1184-1186) — so the
+    stage-2 folder sink can write byte-identical per-filing files.
+    Serialization happens inside the kernel because a MapType column
+    would lose the reference's key order (13 metadata keys, then items
+    in item-list order).  ``json`` is null when every item came out
+    empty (the reference skips writing in that case,
+    extract_items.py:1143-1145)."""
+    if num_partitions is None:
+        num_partitions = raw.sparkSession.sparkContext.defaultParallelism * 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+        import sys
+
+        from edgar_crawler_spark.extract.extractor import extract_filing
+
+        sys.setrecursionlimit(30000)  # deep HTML (extract_items.py:22)
+        for pdf in batches:
+            out = {"filename": [], "filing_type": [], "json": [], "error": []}
+            for row in pdf.to_dict("records"):
+                md = {c: row.get(c) for c in METADATA_COLS}
+                try:
+                    rec = extract_filing(
+                        row["content"],
+                        md,
+                        items_to_extract=items_to_extract,
+                        remove_tables=remove_tables,
+                        include_signature=include_signature,
+                    )
+                    out["json"].append(
+                        json.dumps(rec, indent=4, ensure_ascii=False)
+                        if rec is not None
+                        else None
+                    )
+                    out["error"].append(None if rec is not None else "all_items_null")
+                except Exception as e:  # poisoned doc must not kill the job
+                    out["json"].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}"[:500])
+                out["filename"].append(row.get("filename"))
+                out["filing_type"].append(row.get("Type"))
+            yield pd.DataFrame(out)
+
+    return raw.repartition(num_partitions).mapInPandas(run, JSON_RECORD_SCHEMA)
+
+
 def items_long(records: DataFrame) -> DataFrame:
     """(filename, filing_type, item_key, item_text) long form."""
     return records.filter(F.col("items").isNotNull()).select(

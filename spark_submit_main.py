@@ -1,9 +1,22 @@
-"""Cluster entry point: run the crawl frontier via spark-submit.
+"""Cluster entry point: both reference CLI stages via spark-submit.
+
+Stage 1 (crawl — download_filings.py:54-224):
 
     zip -r edgar_crawler_spark.zip edgar_crawler_spark/
     spark-submit --py-files edgar_crawler_spark.zip spark_submit_main.py \
         --workdir /data/frontier --seed-parquet /data/seeds \
-        [--rate 10] [--wave-quota 100000] [--max-waves 1000]
+        [--rate 10] [--wave-quota 100000] [--max-waves 1000] \
+        [--metadata-csv out.csv] [--raw-filings-dir RAW_FILINGS]
+
+Stage 2 (extract — extract_items.py:1191-1266):
+
+    spark-submit --py-files edgar_crawler_spark.zip spark_submit_main.py \
+        --extract --config config.json [--dataset-dir datasets] \
+        [--metadata-csv-in CSV] [--raw-dir RAW] [--out-dir EXTRACTED]
+
+Stage 1's ``--metadata-csv`` + ``--raw-filings-dir`` outputs are exactly
+stage 2's inputs (and the reference's own extract_items.py can consume
+them unchanged — same folder layout and filename scheme).
 
 On a real cluster the SparkSession comes from spark-submit's conf
 (master/executors set externally); locally this falls back to
@@ -21,10 +34,12 @@ from pyspark.sql import SparkSession
 from edgar_crawler_spark.frontier.fetch import stub_fetcher
 from edgar_crawler_spark.frontier.frontier import CrawlFrontier
 
+DEFAULT_UA = "edgar-crawler-spark admin@example.com"
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--workdir", help="frontier state dir (crawl stage)")
     ap.add_argument("--seed-parquet")
     ap.add_argument(
         "--config",
@@ -71,7 +86,32 @@ def main() -> None:
         help="after the crawl, write the fetch log as a reference-shaped "
         "FILINGS_METADATA.csv directory (stage-1 output parity)",
     )
-    ap.add_argument("--user-agent", default="edgar-crawler-spark admin@example.com")
+    ap.add_argument(
+        "--raw-filings-dir",
+        help="after the crawl, also write fetched payload bytes as "
+        "{dir}/{Type}/{CIK}_{TYPE}_{YEAR}_{accession}.{ext} files (S7 "
+        "layout, download_filings.py:716-729) — directly consumable by "
+        "the reference's extract_items.py or this CLI's --extract stage",
+    )
+    # stage 2 (extract_items.py:1191-1266)
+    ap.add_argument(
+        "--extract",
+        action="store_true",
+        help="run the extraction stage instead of the crawl (reads the "
+        "extract_items config keys / the --*-dir flags)",
+    )
+    ap.add_argument(
+        "--dataset-dir",
+        default="datasets",
+        help="base dir the reference resolves its extract_items folder "
+        "keys against (reference DATASET_DIR)",
+    )
+    ap.add_argument("--metadata-csv-in", help="extract stage: metadata CSV path")
+    ap.add_argument("--raw-dir", help="extract stage: raw filings folder")
+    ap.add_argument("--out-dir", help="extract stage: extracted filings folder")
+    # None default so --config's user_agent is never clobbered by a flag
+    # the user did not pass (ADVICE r02)
+    ap.add_argument("--user-agent", default=None)
     args = ap.parse_args()
 
     builder = SparkSession.builder.appName("edgar-crawler-spark")
@@ -81,11 +121,18 @@ def main() -> None:
     # config.json parity: the reference's download_filings keys drive
     # the same plan the CLI flags do; explicit flags override config
     dl_cfg = None
+    ex_cfg = None
     if args.config:
         from edgar_crawler_spark.config import load_reference_config
 
         cfg = load_reference_config(args.config)
         dl_cfg = cfg["download_filings"]
+        ex_cfg = cfg["extract_items"]
+
+    if args.extract:
+        run_extract_stage(spark, args, ex_cfg)
+        return
+
     if args.start_year or args.end_year or args.quarters or args.filing_types:
         from edgar_crawler_spark.config import DOWNLOAD_DEFAULTS
 
@@ -98,7 +145,7 @@ def main() -> None:
             dl_cfg["quarters"] = args.quarters
         if args.filing_types:
             dl_cfg["filing_types"] = args.filing_types
-        if args.user_agent:
+        if args.user_agent:  # only an EXPLICIT flag overrides config
             dl_cfg["user_agent"] = args.user_agent
 
     if args.plan_only:
@@ -122,15 +169,20 @@ def main() -> None:
         print(json.dumps(plan))
         return
 
+    if not args.workdir:
+        raise SystemExit("the crawl stage needs --workdir")
     if not args.seed_parquet and dl_cfg is None:
         raise SystemExit("need --seed-parquet, --config, or year/quarter flags")
+
+    # precedence: explicit flag > config.json > built-in default (ADVICE r02)
+    ua = args.user_agent or (dl_cfg or {}).get("user_agent") or DEFAULT_UA
 
     fetcher = stub_fetcher
     virtual_clock = True
     if args.real_network:
         from edgar_crawler_spark.frontier.fetch import http_fetcher_factory
 
-        fetcher = http_fetcher_factory(args.user_agent)
+        fetcher = http_fetcher_factory(ua)
         virtual_clock = False  # real politeness: wall-clock token buckets
 
     fr = CrawlFrontier(
@@ -159,7 +211,7 @@ def main() -> None:
 
         wl = config_worklist(spark, dl_cfg, as_of=args.as_of)
         idx_fetcher = (
-            http_fetcher_factory(dl_cfg.get("user_agent") or args.user_agent)
+            http_fetcher_factory(ua)
             if args.real_network
             else synth_zip_fetcher(args.synth_rows_per_quarter)
         )
@@ -169,9 +221,7 @@ def main() -> None:
         ciks, tickers = split_cik_tickers(dl_cfg.get("cik_tickers"))
         ticker_dim = None
         if tickers and args.real_network:
-            ticker_dim = _fetch_ticker_dim(
-                spark, dl_cfg.get("user_agent") or args.user_agent
-            )
+            ticker_dim = _fetch_ticker_dim(spark, ua)
         if tickers and ticker_dim is None:
             # sandbox mode can't resolve tickers — report, filter on CIKs only
             report["unresolved_tickers"] = tickers
@@ -188,25 +238,144 @@ def main() -> None:
     admitted = fr.submit(seed)
     waves = fr.run(max_waves=args.max_waves)
 
-    if args.metadata_csv:
+    if args.metadata_csv or args.raw_filings_dir:
         log = fr.fetch_log()
-        if log is not None:
-            import pyspark.sql.functions as F
+    else:
+        log = None
+    if log is not None:
+        import pyspark.sql.functions as F
 
-            from edgar_crawler_spark.sources.dims import (
-                METADATA_CSV_COLUMNS,
-                write_metadata_csv,
-            )
+        from edgar_crawler_spark.plans.pipeline import filename_col
 
-            # engine column names (lowercase) → the reference's CSV headers
-            renames = {c.lower().replace(" ", "_"): c for c in METADATA_CSV_COLUMNS}
-            out = log.select(
-                *[F.col(low).alias(ref) for low, ref in renames.items()]
+        # P5: the frontier log keeps the seed's filename when the crawl
+        # filled it, else derives it here (stage-1 output parity)
+        log = log.withColumn("filename", F.coalesce(F.col("filename"), filename_col()))
+
+    if args.metadata_csv and log is not None:
+        from edgar_crawler_spark.sources.dims import (
+            METADATA_CSV_COLUMNS,
+            write_metadata_csv,
+        )
+
+        # engine column names (lowercase) → the reference's CSV headers
+        renames = {c.lower().replace(" ", "_"): c for c in METADATA_CSV_COLUMNS}
+        out = log.select(*[F.col(low).alias(ref) for low, ref in renames.items()])
+        write_metadata_csv(out, args.metadata_csv)
+        report["metadata_csv"] = args.metadata_csv
+
+    if args.raw_filings_dir and log is not None:
+        from edgar_crawler_spark.sources.blob_sink import write_raw_filing_files
+
+        # S7 layout: fetched rows carry the P5-derived filename; the
+        # bytes live in the payload table keyed by accession. The slim
+        # (type, filename, image_id) side broadcasts; payload bytes
+        # stream — never the other way around (r02 scale bug).
+        fetched = log.filter(F.col("state") == "fetched").select(
+            "type",
+            "filename",
+            F.regexp_extract(  # MUST match the payload-commit image_id rule
+                "canonical_url", r"/(\d{10}-\d{2}-\d{6})(?:-index\.html)?$", 1
+            ).alias("image_id"),
+        )
+        payload = fr.payload.read(spark)
+        if payload is not None:
+            rows = payload.select("image_id", "bytes").join(
+                F.broadcast(fetched), "image_id"
             )
-            write_metadata_csv(out, args.metadata_csv)
-            report["metadata_csv"] = args.metadata_csv
+            write_raw_filing_files(rows, args.raw_filings_dir)
+            report["raw_filings_dir"] = args.raw_filings_dir
 
     print(json.dumps({"admitted": admitted, "waves": waves, **report}))
+
+
+def run_extract_stage(spark, args, ex_cfg) -> None:
+    """Stage 2 (extract_items.py:1191-1266): metadata CSV → type filter
+    (P2) → skip-extracted anti-join (J5) → raw scan (S10) → T1–T14
+    extraction kernel → per-filing JSON files (S11 layout).
+
+    Paths resolve like the reference: explicit flags win, else the
+    extract_items config keys joined to --dataset-dir."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.config import EXTRACT_DEFAULTS
+    from edgar_crawler_spark.extract.spark_extract import extract_json_records
+    from edgar_crawler_spark.sources.blob_sink import (
+        list_extracted_basenames,
+        write_filing_json_files,
+    )
+    from edgar_crawler_spark.sources.dims import read_metadata_csv
+    from edgar_crawler_spark.sources.raw_scan import read_raw_filings
+
+    ex_cfg = dict(EXTRACT_DEFAULTS, **(ex_cfg or {}))
+
+    def resolved(flag_value: str | None, cfg_key: str) -> str | None:
+        if flag_value:
+            return flag_value
+        name = ex_cfg.get(cfg_key)
+        return os.path.join(args.dataset_dir, name) if name else None
+
+    md_path = resolved(args.metadata_csv_in, "filings_metadata_file")
+    raw_dir = resolved(args.raw_dir, "raw_filings_folder")
+    out_dir = resolved(args.out_dir, "extracted_filings_folder")
+    if not (md_path and raw_dir and out_dir):
+        raise SystemExit(
+            "--extract needs --metadata-csv-in/--raw-dir/--out-dir or the "
+            "extract_items folder keys in --config"
+        )
+
+    md = read_metadata_csv(spark, md_path)
+    if ex_cfg["filing_types"]:
+        md = md.filter(F.col("Type").isin(list(ex_cfg["filing_types"])))
+
+    n_selected = md.count()
+    n_skipped = 0
+    if ex_cfg["skip_extracted_filings"]:
+        existing = list_extracted_basenames(spark, out_dir)
+        md = md.withColumn(
+            "__base", F.element_at(F.split(F.col("filename"), r"\."), 1)
+        ).join(
+            existing.withColumnRenamed("basename", "__base"), "__base", "left_anti"
+        ).drop("__base")
+        n_todo = md.count()
+        n_skipped = n_selected - n_todo
+
+    # S10: the raw folder's {Type}/ subdirs → (filename, content); inner
+    # join back to metadata on the P5 filename (unique per filing)
+    subdirs = [
+        os.path.join(raw_dir, d)
+        for d in (os.listdir(raw_dir) if os.path.isdir(raw_dir) else [])
+        if os.path.isdir(os.path.join(raw_dir, d))
+    ]
+    if not subdirs:
+        raise SystemExit(f"no such directory (or empty): {raw_dir}")
+    raw = read_raw_filings(spark, subdirs).select("filename", "content")
+    work = md.join(raw, "filename")
+
+    records = extract_json_records(
+        work,
+        items_to_extract=ex_cfg.get("items_to_extract") or None,
+        remove_tables=ex_cfg["remove_tables"],
+        include_signature=ex_cfg["include_signature"],
+    ).persist()
+    n_written = records.filter(F.col("json").isNotNull()).count()
+    n_failed = records.filter(
+        F.col("error").isNotNull() & (F.col("error") != "all_items_null")
+    ).count()
+    write_filing_json_files(records, out_dir)
+    records.unpersist()
+    print(
+        json.dumps(
+            {
+                "selected": n_selected,
+                "skipped_extracted": n_skipped,
+                "extracted": n_written,
+                "failed": n_failed,
+                "out_dir": out_dir,
+            }
+        )
+    )
 
 
 def _fetch_ticker_dim(spark, user_agent: str):
