@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from edgar_crawler_spark.frontier.seen import guard_shard_count
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -213,6 +215,7 @@ class PersistedCuckooTable:
         self.expected_per_shard = expected_per_shard
 
     def read_filter(self, spark) -> CuckooFilterTable | None:
+        guard_shard_count(self.table, self.num_shards)
         df = self.table.read(spark)
         return CuckooFilterTable(df, self.num_shards) if df is not None else None
 
@@ -223,6 +226,7 @@ class PersistedCuckooTable:
         )
 
     def _apply(self, new: DataFrame, hash_col: str, metrics, mode: str) -> int:
+        guard_shard_count(self.table, self.num_shards)
         spark = new.sparkSession
         cur = self.table.read(spark)
         default_buckets = CuckooFilterTable.buckets_for(self.expected_per_shard)
@@ -276,7 +280,8 @@ class PersistedCuckooTable:
                 .cogroup(cur.groupBy("shard"))
                 .applyInPandas(mutate, _CUCKOO_SCHEMA)
             )
-        return self.table.overwrite(merged, metrics=metrics)
+        m = {"num_shards": self.num_shards, **(metrics or {})}
+        return self.table.overwrite(merged, metrics=m)
 
     def update(self, new: DataFrame, hash_col: str = "url_hash", metrics: dict | None = None) -> int:
         """Insert the new hashes into the persisted shard tables."""
@@ -318,5 +323,5 @@ class PersistedCuckooTable:
             num_shards=self.num_shards,
             expected_per_shard=self.expected_per_shard,
         )
-        m = {"rebuild": True, **(metrics or {})}
+        m = {"rebuild": True, "num_shards": self.num_shards, **(metrics or {})}
         return self.table.overwrite(built.df, metrics=m)

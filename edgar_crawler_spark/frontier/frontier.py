@@ -71,6 +71,9 @@ class CrawlFrontier:
         #   wave_quota rows from EACH host's priority queue (host_rank <=
         #   quota), so a wave can carry quota × n_hosts rows total
         max_attempts: int = 3,
+        max_wave_rows: int | None = None,  # GLOBAL per-wave row cap (quota
+        #   is per-host); bounds a wave's persisted payload bytes on
+        #   frontiers where host count × quota would explode
         use_bloom: bool = True,
         bloom_shards: int = 32,
         filter_kind: str = "bloom",  # bloom | cuckoo (deletable)
@@ -82,6 +85,7 @@ class CrawlFrontier:
         self.virtual_clock = virtual_clock
         self.wave_quota = wave_quota
         self.max_attempts = max_attempts
+        self.max_wave_rows = max_wave_rows
         self.use_bloom = use_bloom
         self.bloom_shards = bloom_shards
         self.filter_kind = filter_kind
@@ -250,6 +254,76 @@ class CrawlFrontier:
             pending = url_seen_anti_join(pending, seen_df, bloom=bloom)
         return pending
 
+    def _dispatch_predicate(self, work: DataFrame):
+        """The wave-membership predicate over the prioritized frontier.
+
+        Base rule: per-host quota (``host_rank <= wave_quota``) — the
+        politeness queue prefix.  When ``max_wave_rows`` is set (VERDICT
+        r02 item 5), the wave is additionally bounded GLOBALLY so a
+        10^6-host frontier can't build a 10^6 × quota-row wave whose
+        persisted payload bytes swamp executor storage:
+
+        * find the deepest rank R whose cumulative row count fits the
+          cap — one tiny aggregate (≤ wave_quota rows collected), no
+          global sort; dispatch = every host's queue prefix of depth R
+          (round-robin across hosts, per-host order intact);
+        * if even depth 1 exceeds the cap (hosts alone > cap), hosts are
+          hashed into ~4·n/cap buckets, per-bucket row counts collected
+          (tiny), and buckets are taken round-robin from a wave-rotated
+          start until the cap is reached — a bounded, rotating host
+          cohort. At least one bucket is always taken (progress
+          guarantee), so the cap is strict up to one-bucket granularity
+          (expected bucket size ≈ cap/4). No starvation: unserved hosts
+          stay pending and the start bucket rotates each wave.
+
+        Excess rows spill to ``deferred`` (the predicate's complement),
+        exactly as quota overflow always has.
+        """
+        pred = F.col("host_rank") <= self.wave_quota
+        if not self.max_wave_rows:
+            return pred
+        # cumulative rows per rank depth: ≤ wave_quota rows to the driver
+        counts = (
+            work.filter(pred)
+            .groupBy("host_rank")
+            .agg(F.count("*").alias("n"))
+            .orderBy("host_rank")
+            .collect()
+        )
+        cum, depth = 0, 0
+        for r in counts:
+            if cum + r["n"] > self.max_wave_rows:
+                break
+            cum += r["n"]
+            depth = r["host_rank"]
+        if depth >= 1:
+            return F.col("host_rank") <= depth
+        # hosts alone exceed the cap: rotate through counted host buckets
+        n_rank1 = counts[0]["n"] if counts else 1
+        n_buckets = max(8, -(-4 * n_rank1 // self.max_wave_rows))  # ceil
+        bucket = F.pmod(F.xxhash64(F.col("host")), F.lit(n_buckets))
+        per_bucket = {
+            r["b"]: r["n"]
+            for r in work.filter(F.col("host_rank") == 1)
+            .groupBy(bucket.alias("b"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        start = (len(self.metrics) + 1) % n_buckets  # rotate per wave
+        chosen, cum = [], 0
+        for i in range(n_buckets):
+            b = (start + i) % n_buckets
+            nb = per_bucket.get(b, 0)
+            if nb == 0:
+                continue
+            if chosen and cum + nb > self.max_wave_rows:
+                break
+            chosen.append(b)
+            cum += nb
+            if cum >= self.max_wave_rows:
+                break
+        return (F.col("host_rank") == 1) & bucket.isin(chosen)
+
     def _fetch_phase(self, pending: DataFrame) -> dict:
         """Prioritize, split dispatch/deferred, run the fetch, and
         materialize per-state counts. Returns the wave context dict
@@ -259,8 +333,9 @@ class CrawlFrontier:
         # cache the deferred side re-scans pending and re-runs the
         # window when the next-pending snapshot is written
         work = with_priority(pending).persist()
-        dispatch = work.filter(F.col("host_rank") <= self.wave_quota)
-        deferred = work.filter(F.col("host_rank") > self.wave_quota).drop(
+        dispatch_pred = self._dispatch_predicate(work)
+        dispatch = work.filter(dispatch_pred)
+        deferred = work.filter(~dispatch_pred).drop(
             "form_type_rank", "priority", "host_rank"
         )
         t0 = time.time()
@@ -317,10 +392,9 @@ class CrawlFrontier:
         n_dispatched = ctx["n_dispatched"]
         fetched = results.filter(F.col("state") == "fetched")
         commit_token = uuid.uuid4().hex
-        log_df = (
-            results.withColumn("state", self._terminal_state())
-            .withColumn("wave", F.lit(wave_no))
-            .drop("bytes", "w", "h", "fmt", "phash", "decode_ok")
+        terminal = results.withColumn("state", self._terminal_state())
+        log_df = terminal.withColumn("wave", F.lit(wave_no)).drop(
+            "bytes", "w", "h", "fmt", "phash", "decode_ok"
         )
         # payload row (input_hint: decoded dims, fmt, phash) — the
         # decode/validate columns were fused into the fetch pass, so
@@ -331,7 +405,14 @@ class CrawlFrontier:
             ).alias("image_id"),
             "bytes", "w", "h", "fmt", "caption", "phash", "decode_ok",
         )
-        new_seen = fetched.select(
+        # BOTH terminal dispositions enter seen (ADVICE r02): 'failed'
+        # rows exhausted their attempt budget and must never re-dispatch.
+        # Without this, a crash between the seen append and the pending
+        # overwrite leaves failed rows in pending; the resume-time seen
+        # re-filter wouldn't drop them and they'd re-dispatch with reset
+        # attempts, appending duplicate failed log rows. Requeue is the
+        # explicit invalidate() path, same as for fetched URLs.
+        new_seen = terminal.filter(F.col("state").isin("fetched", "failed")).select(
             "url_hash",
             "canonical_url",
             F.lit(self.seen.current_version() + 1).cast("long").alias("first_seen_version"),
@@ -403,8 +484,8 @@ class CrawlFrontier:
         ctx["work"].unpersist()
         return m
 
-    def run(self, max_waves: int = 100, pipeline: bool = True) -> list[dict]:
-        """Drain the frontier. With ``pipeline=True`` (default), wave
+    def run(self, max_waves: int = 100, pipeline: bool | None = None) -> list[dict]:
+        """Drain the frontier. With ``pipeline=True``, wave
         N+1's fetch overlaps wave N's commits: commits run on ONE
         background thread (strictly ordered — only the latest snapshot
         can ever be partial, which is what ``_recover`` assumes) while
@@ -417,12 +498,17 @@ class CrawlFrontier:
         re-filter drops. Crash-safety is identical to step()-by-step
         execution; only idle driver time is removed.
 
-        Lineage note: wave N's caches are unpersisted once wave N+1's
-        are materialized AND N's commit landed. On a multi-executor
-        cluster a lost N+1 cache partition would recompute through N's
-        (nondeterministic) fetch — pin persist(StorageLevel with
-        replication) or checkpoint the remainder there; in local mode
-        eviction goes to disk, never recompute."""
+        ``pipeline=None`` (default) resolves to True only on a local
+        master (ADVICE r02): the chained remainder's lineage passes
+        through wave N's nondeterministic fetch, and on a multi-executor
+        cluster a lost wave-N+1 cache partition would silently recompute
+        it — committed tables could diverge from the observed results.
+        Locally, cache eviction spills to disk and never recomputes, so
+        pipelining is safe. Pass ``pipeline=True`` explicitly on a
+        cluster only with a replicated persist/checkpoint of the
+        remainder."""
+        if pipeline is None:
+            pipeline = self.spark.sparkContext.master.startswith("local")
         if not pipeline:
             out = []
             for _ in range(max_waves):

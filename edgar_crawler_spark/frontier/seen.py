@@ -149,6 +149,25 @@ class BloomFilterTable:
         return cand_g.cogroup(bloom_g).applyInPandas(check, out_schema)
 
 
+def guard_shard_count(table, configured: int) -> None:
+    """Validate the configured shard count against the one persisted in
+    the filter table's manifest metrics (ADVICE r02). Routing candidates
+    with a different ``num_shards`` than the bitsets were built with
+    checks hashes against the WRONG shard — silent false negatives, so
+    already-fetched URLs skip the exact recheck and are re-admitted.
+    Fail loudly instead; ``rebuild()`` is the legitimate way to change
+    the shard count (it rewrites every bitset from the seen table).
+    Tables written before this guard have no stamp — first write adds it."""
+    stored = (table.latest_manifest().get("metrics") or {}).get("num_shards")
+    if stored is not None and int(stored) != int(configured):
+        raise ValueError(
+            f"persisted filter at {getattr(table, 'root', '?')} was built "
+            f"with num_shards={stored} but this instance is configured "
+            f"with num_shards={configured}; construct with the stored "
+            "value or rebuild() the filter"
+        )
+
+
 class PersistedBloomTable:
     """Incrementally-maintained Bloom filter: shard bitsets persisted
     in a :class:`SnapshotTable`, OR-updated with ONLY the new hashes at
@@ -182,6 +201,7 @@ class PersistedBloomTable:
         self.fpp = fpp
 
     def read_filter(self, spark: SparkSession) -> BloomFilterTable | None:
+        guard_shard_count(self.table, self.num_shards)
         df = self.table.read(spark)
         return BloomFilterTable(df, self.num_shards) if df is not None else None
 
@@ -195,6 +215,7 @@ class PersistedBloomTable:
         """OR the new hashes into the persisted bitsets. Touches only
         the filter table (KBs–GBs of bitsets), never the seen parquet.
         Untouched shards are carried through the cogroup unchanged."""
+        guard_shard_count(self.table, self.num_shards)
         spark = new.sparkSession
         cur = self.table.read(spark)
         m0, k0 = _params(self.expected_per_shard, self.fpp)
@@ -238,7 +259,8 @@ class PersistedBloomTable:
                 .cogroup(cur.groupBy("shard"))
                 .applyInPandas(or_in, _BLOOM_SCHEMA)
             )
-        return self.table.overwrite(merged, metrics=metrics)
+        m = {"num_shards": self.num_shards, **(metrics or {})}
+        return self.table.overwrite(merged, metrics=m)
 
     def max_load(self, spark: SparkSession) -> float:
         """max over shards of n_items / sized capacity — a tiny job on
@@ -277,7 +299,7 @@ class PersistedBloomTable:
             expected_per_shard=self.expected_per_shard,
             fpp=self.fpp,
         )
-        m = {"rebuild": True, **(metrics or {})}
+        m = {"rebuild": True, "num_shards": self.num_shards, **(metrics or {})}
         return self.table.overwrite(built.df, metrics=m)
 
 

@@ -68,6 +68,13 @@ def main() -> None:
     )
     ap.add_argument("--max-waves", type=int, default=1000)
     ap.add_argument(
+        "--max-wave-rows",
+        type=int,
+        default=None,
+        help="GLOBAL cap on rows per wave (the per-host quota alone lets "
+        "a wave carry quota × n_hosts rows); excess defers by priority",
+    )
+    ap.add_argument(
         "--compact-every",
         type=int,
         default=None,
@@ -192,6 +199,7 @@ def main() -> None:
         rate_per_host=args.rate,
         virtual_clock=virtual_clock,
         wave_quota=args.wave_quota,
+        max_wave_rows=args.max_wave_rows,
         compact_every=args.compact_every,
     )
     report: dict = {}

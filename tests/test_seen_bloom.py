@@ -54,3 +54,35 @@ def test_snapshot_table_atomic_history(spark, tmp_path):
     hist = t.history()
     assert [m["version"] for m in hist] == [1, 2, 3]
     assert hist[0]["metrics"] == {"rows": 5}
+
+
+def test_persisted_filter_shard_count_guard(spark, tmp_path):
+    """ADVICE r02: resuming a workdir with a different num_shards must
+    fail loudly, not silently route hashes to the wrong shard's bitset
+    (false negatives → re-admitted URLs). rebuild() is the sanctioned
+    way to change the shard count."""
+    import pytest
+
+    from edgar_crawler_spark.frontier.cuckoo import PersistedCuckooTable
+    from edgar_crawler_spark.frontier.seen import PersistedBloomTable
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+
+    hashes = spark.range(500).selectExpr("xxhash64(cast(id as string)) AS url_hash")
+
+    for cls, sub in ((PersistedBloomTable, "b"), (PersistedCuckooTable, "c")):
+        tbl = SnapshotTable(str(tmp_path / sub))
+        filt = cls(tbl, num_shards=32)
+        filt.update(hashes)
+        # same shard count resumes fine
+        assert cls(tbl, num_shards=32).read_filter(spark) is not None
+        # drifted shard count fails loudly on both read and write paths
+        drifted = cls(tbl, num_shards=16)
+        with pytest.raises(ValueError, match="num_shards"):
+            drifted.read_filter(spark)
+        with pytest.raises(ValueError, match="num_shards"):
+            drifted.update(hashes)
+        # rebuild rewrites every bitset from seen → new count is stamped
+        drifted.rebuild(hashes)
+        assert drifted.read_filter(spark) is not None
+        with pytest.raises(ValueError, match="num_shards"):
+            cls(tbl, num_shards=32).read_filter(spark)
