@@ -1298,6 +1298,12 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tpch_q5_shape": (q_tpch_q5_shape, SQL_TPCH_Q5),
     "t3_collapse_whitespace": (q_t3_collapse_whitespace, SQL_T3),
     "t13_type_dispatch": (q_t13_dispatch, SQL_T13),
+    # ev_* (streaming-shaped) registered early: the driver's sampler
+    # walks dict order and the r02 run truncated the tail (VERDICT item 7)
+    "ev_tumbling_hourly": (q_ev_tumbling_hourly, SQL_EV_TUMBLING),
+    "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
+    "ev_json_props": (q_ev_json_props, SQL_EV_JSON),
+    "ev_topk_users": (q_ev_topk_users, SQL_EV_TOPK),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_with_dups": (q_dedup_exact_with_dups, SQL_DEDUP_EXACT_DUPS),
     "dedup_minhash_signatures": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
@@ -1323,8 +1329,4 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_tfidf_top_terms": (q_text_tfidf, SQL_TEXT_TFIDF),
     "extract_items_long": (q_extract_items_long, None),
     "extract_records": (q_extract_records, None),
-    "ev_tumbling_hourly": (q_ev_tumbling_hourly, SQL_EV_TUMBLING),
-    "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
-    "ev_json_props": (q_ev_json_props, SQL_EV_JSON),
-    "ev_topk_users": (q_ev_topk_users, SQL_EV_TOPK),
 }

@@ -158,3 +158,69 @@ def test_http_resubmit_is_noop(spark, tmp_path, http_server):
     )
     assert fr2.submit(_localhost_seeds(spark, port)) == 0
     assert fr2.step() is None
+
+
+OVERSIZE_DECLARED_I = 3  # Content-Length over the cap (pre-body abort)
+OVERSIZE_STREAMED_I = 5  # no Content-Length; body streams past the cap
+
+
+class _BigBodyHandler(BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802
+        m = _ACC.search(self.path)
+        i = int(m.group(2)) if m else -1
+        if i == OVERSIZE_DECLARED_I:
+            body = b"x" * (256 * 1024)
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        if i == OVERSIZE_STREAMED_I:
+            # no Content-Length: the cap must trip mid-stream
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"y" * (256 * 1024))
+            return
+        body = bytes(make_payload_row(i)["bytes"])
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_oversized_body_fails_row_not_worker(spark, tmp_path):
+    """VERDICT r02 item 8: a pathological document larger than max_bytes
+    becomes a terminal FAILED row (status -2, error recorded), never an
+    OOM'd executor — and is not retried (re-downloading it would burn
+    the budget on the same bytes)."""
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _BigBodyHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        fr = CrawlFrontier(
+            spark,
+            str(tmp_path / "wd"),
+            fetcher=http_fetcher_factory(UA, max_bytes=64 * 1024),
+            rate_per_host=10_000.0,
+            virtual_clock=False,
+            wave_quota=10**9,
+        )
+        n = 8
+        assert fr.submit(_localhost_seeds(spark, port).limit(n)) == n
+        fr.run()
+        log = {r["row_seq"]: r for r in fr.fetch_log().collect()}
+        assert len(log) == n
+        for i in (OVERSIZE_DECLARED_I, OVERSIZE_STREAMED_I):
+            assert log[i]["state"] == "failed"
+            assert log[i]["status"] == -2
+            assert "max_bytes" in log[i]["error"]
+            assert log[i]["attempts"] == 1  # permanent: no retry
+        ok = [r for q, r in log.items() if q not in (OVERSIZE_DECLARED_I, OVERSIZE_STREAMED_I)]
+        assert all(r["state"] == "fetched" for r in ok)
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
