@@ -119,7 +119,22 @@ def main() -> None:
     # None default so --config's user_agent is never clobbered by a flag
     # the user did not pass (ADVICE r02)
     ap.add_argument("--user-agent", default=None)
+    ap.add_argument(
+        "--logging-dir",
+        default=None,
+        help="write a timestamped per-run log file here (the reference's "
+        "logger.py surface); off by default",
+    )
     args = ap.parse_args()
+
+    runlog = None
+    if args.logging_dir:
+        from edgar_crawler_spark.runlog import get_run_logger
+
+        runlog = get_run_logger(
+            "extract_items" if args.extract else "edgar_crawler",
+            logging_dir=args.logging_dir,
+        )
 
     builder = SparkSession.builder.appName("edgar-crawler-spark")
     spark = builder.getOrCreate()
@@ -137,7 +152,7 @@ def main() -> None:
         ex_cfg = cfg["extract_items"]
 
     if args.extract:
-        run_extract_stage(spark, args, ex_cfg)
+        run_extract_stage(spark, args, ex_cfg, runlog=runlog)
         return
 
     if args.start_year or args.end_year or args.quarters or args.filing_types:
@@ -244,7 +259,17 @@ def main() -> None:
         status.unpersist()
 
     admitted = fr.submit(seed)
+    if runlog:
+        runlog.info("admitted %d new URLs to the frontier", admitted)
     waves = fr.run(max_waves=args.max_waves)
+    if runlog:
+        for w in waves:
+            runlog.info(
+                "wave %d: dispatched=%d fetched=%d retried=%d failed=%d "
+                "(%.0f URLs/s)",
+                w["wave"], w["dispatched"], w["fetched"], w["retried"],
+                w["failed"], w["urls_per_s"],
+            )
 
     if args.metadata_csv or args.raw_filings_dir:
         log = fr.fetch_log()
@@ -296,7 +321,7 @@ def main() -> None:
     print(json.dumps({"admitted": admitted, "waves": waves, **report}))
 
 
-def run_extract_stage(spark, args, ex_cfg) -> None:
+def run_extract_stage(spark, args, ex_cfg, runlog=None) -> None:
     """Stage 2 (extract_items.py:1191-1266): metadata CSV → type filter
     (P2) → skip-extracted anti-join (J5) → raw scan (S10) → T1–T14
     extraction kernel → per-filing JSON files (S11 layout).
@@ -373,6 +398,12 @@ def run_extract_stage(spark, args, ex_cfg) -> None:
     ).count()
     write_filing_json_files(records, out_dir)
     records.unpersist()
+    if runlog:
+        runlog.info(
+            "extraction: %d selected, %d skipped (already extracted), "
+            "%d written, %d failed -> %s",
+            n_selected, n_skipped, n_written, n_failed, out_dir,
+        )
     print(
         json.dumps(
             {
