@@ -636,10 +636,9 @@ SQL_DEDUP_MINHASH_LSH = f"""
 WITH {_SQL_TOKS},
 {_SQL_MINHASH_SIGS},
 banded AS (
-  SELECT doc_id, band, ((instr('0123456789abcdef', substring(md5(bk), 1, 1)) - 1) * 1::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 2, 1)) - 1) * 16::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 3, 1)) - 1) * 256::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 4, 1)) - 1) * 4096::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 5, 1)) - 1) * 65536::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 6, 1)) - 1) * 1048576::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 7, 1)) - 1) * 16777216::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 8, 1)) - 1) * 268435456::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 9, 1)) - 1) * 4294967296::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 10, 1)) - 1) * 68719476736::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 11, 1)) - 1) * 1099511627776::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 12, 1)) - 1) * 17592186044416::BIGINT) AS band_key
-  FROM (SELECT doc_id, seed // 2 AS band,
-               string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS bk
-        FROM sigs GROUP BY doc_id, seed // 2)),
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, seed // 2),
 capped AS (
   SELECT * FROM banded
   WHERE (band, band_key) IN (
@@ -670,10 +669,9 @@ SQL_DEDUP_MINHASH_LSH_SHINGLE = f"""
 WITH {_SQL_SHINGLES},
 {_SQL_MINHASH_SIGS},
 banded AS (
-  SELECT doc_id, band, ((instr('0123456789abcdef', substring(md5(bk), 1, 1)) - 1) * 1::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 2, 1)) - 1) * 16::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 3, 1)) - 1) * 256::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 4, 1)) - 1) * 4096::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 5, 1)) - 1) * 65536::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 6, 1)) - 1) * 1048576::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 7, 1)) - 1) * 16777216::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 8, 1)) - 1) * 268435456::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 9, 1)) - 1) * 4294967296::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 10, 1)) - 1) * 68719476736::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 11, 1)) - 1) * 1099511627776::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 12, 1)) - 1) * 17592186044416::BIGINT) AS band_key
-  FROM (SELECT doc_id, seed // 2 AS band,
-               string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS bk
-        FROM sigs GROUP BY doc_id, seed // 2)),
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, seed // 2),
 capped AS (
   SELECT * FROM banded
   WHERE (band, band_key) IN (
@@ -736,10 +734,9 @@ WHERE a.doc_id < b.doc_id
 _SQL_LSH_PAIRS = f"""
 {_SQL_MINHASH_SIGS},
 banded AS (
-  SELECT doc_id, band, ((instr('0123456789abcdef', substring(md5(bk), 1, 1)) - 1) * 1::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 2, 1)) - 1) * 16::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 3, 1)) - 1) * 256::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 4, 1)) - 1) * 4096::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 5, 1)) - 1) * 65536::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 6, 1)) - 1) * 1048576::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 7, 1)) - 1) * 16777216::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 8, 1)) - 1) * 268435456::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 9, 1)) - 1) * 4294967296::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 10, 1)) - 1) * 68719476736::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 11, 1)) - 1) * 1099511627776::BIGINT + (instr('0123456789abcdef', substring(md5(bk), 12, 1)) - 1) * 17592186044416::BIGINT) AS band_key
-  FROM (SELECT doc_id, seed // 2 AS band,
-               string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS bk
-        FROM sigs GROUP BY doc_id, seed // 2)),
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, seed // 2),
 capped AS (
   SELECT * FROM banded
   WHERE (band, band_key) IN (

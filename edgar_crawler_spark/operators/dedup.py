@@ -145,15 +145,8 @@ def minhash_lsh_pairs(
                     lambda x: x["minhash"].cast("string"),
                 ),
                 ",",
-            ).alias("__bk")
+            ).alias("band_key")
         )
-        # compress the band key to H48 BEFORE it becomes a shuffle key:
-        # the cap groupBy and the candidate self-join both shuffle on it,
-        # and an 8-byte long beats an ~20-char-per-minhash string on both
-        # wire size and join equality cost. H48 (not xxhash64) so the
-        # DuckDB oracle computes the identical key; a 2^-48 collision
-        # would only add a spurious candidate pair, identically in both.
-        .select("doc_id", "band", h48_col(F.col("__bk")).alias("band_key"))
     )
     bucket_sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("__sz"))
     capped = banded.join(
