@@ -26,14 +26,20 @@ def company_dim_df(spark: SparkSession, n: int = 997) -> DataFrame:
     )
 
 
-def filename_col() -> F.Column:
+def filename_col(df: DataFrame) -> F.Column:
     """P5: {CIK}_{type-sans-special}_{year}_{accession}.{ext}
     (download_filings.py:716-722). Year comes from period_of_report when
-    the index-page crawl filled it, else the index date (the reference
-    always has a period by this point; stub/sandbox rows don't)."""
+    the input carries it and the index-page crawl filled it, else the
+    index date (the reference always has a period by this point;
+    stub/sandbox rows don't)."""
     accession = F.regexp_extract("complete_text_file_link", r"/([^/]+)\.txt$", 1)
     ext = F.when(F.col("htm_file_link").isNotNull(), F.lit("htm")).otherwise(F.lit("txt"))
-    year = F.substring(F.coalesce(F.col("period_of_report"), F.col("date")), 1, 4)
+    year_src = (
+        F.coalesce(F.col("period_of_report"), F.col("date"))
+        if "period_of_report" in df.columns
+        else F.col("date")
+    )
+    year = F.substring(year_src, 1, 4)
     return F.concat(
         F.col("cik"),
         F.lit("_"),
@@ -57,7 +63,7 @@ def enrich_metadata(log: DataFrame, dim: DataFrame) -> DataFrame:
     out = log.join(F.broadcast(dim_renamed), on="cik", how="left")
     for c in COMPANY_DIM_COLS:
         out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__dim_{c}"))).drop(f"__dim_{c}")
-    return out.withColumn("filename", filename_col())
+    return out.withColumn("filename", filename_col(out))
 
 
 def crawl(

@@ -282,7 +282,7 @@ def main() -> None:
 
         # P5: the frontier log keeps the seed's filename when the crawl
         # filled it, else derives it here (stage-1 output parity)
-        log = log.withColumn("filename", F.coalesce(F.col("filename"), filename_col()))
+        log = log.withColumn("filename", F.coalesce(F.col("filename"), filename_col(log)))
 
     if args.metadata_csv and log is not None:
         from edgar_crawler_spark.sources.dims import (
