@@ -138,6 +138,26 @@ def http_fetcher_factory(
     return fetch
 
 
+def http_robots_fetcher_factory(user_agent: str, timeout_s: float = 10.0):
+    """robots.txt source for the real-network gate: one GET per host
+    (RobotsGate caches per host inside the partition). 404/errors →
+    None → allow-all, matching the de-facto crawler convention."""
+    import requests
+
+    def fetch_robots(host: str) -> str | None:
+        try:
+            r = requests.get(
+                f"https://{host}/robots.txt",
+                headers={"User-agent": user_agent},
+                timeout=timeout_s,
+            )
+            return r.text if r.status_code == 200 else None
+        except Exception:
+            return None
+
+    return fetch_robots
+
+
 def _fetch_one(fetcher, url: str, bucket, clk) -> tuple:
     """Full retry + throttle protocol for one URL (reference N1/N2)."""
     waited = 0.0

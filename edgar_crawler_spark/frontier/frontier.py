@@ -74,6 +74,8 @@ class CrawlFrontier:
         max_wave_rows: int | None = None,  # GLOBAL per-wave row cap (quota
         #   is per-host); bounds a wave's persisted payload bytes on
         #   frontiers where host count × quota would explode
+        robots_fetcher=None,  # robots.txt gate (north_rule; the reference
+        #   has none) — callable(host) -> robots.txt text or None
         use_bloom: bool = True,
         bloom_shards: int = 32,
         filter_kind: str = "bloom",  # bloom | cuckoo (deletable)
@@ -86,6 +88,7 @@ class CrawlFrontier:
         self.wave_quota = wave_quota
         self.max_attempts = max_attempts
         self.max_wave_rows = max_wave_rows
+        self.robots_fetcher = robots_fetcher
         self.use_bloom = use_bloom
         self.bloom_shards = bloom_shards
         self.filter_kind = filter_kind
@@ -344,6 +347,7 @@ class CrawlFrontier:
             fetcher=self.fetcher,
             rate_per_host=self.rate_per_host,
             virtual_clock=self.virtual_clock,
+            robots_fetcher=self.robots_fetcher,
             decode=True,  # fused validate: bytes cross Arrow once
         ).persist()
         # ONE materializing job yields dispatch total AND per-state

@@ -83,6 +83,19 @@ def main() -> None:
     )
     ap.add_argument("--real-network", action="store_true")
     ap.add_argument(
+        "--robots",
+        action="store_true",
+        help="honor robots.txt per host (fetched once per host per wave "
+        "partition; requires --real-network)",
+    )
+    ap.add_argument(
+        "--bootstrap-metadata-csv",
+        help="pre-load an existing FILINGS_METADATA.csv as the URL-seen "
+        "set before submitting (the reference's incremental re-run: "
+        "rows already in the metadata never re-fetch, "
+        "download_filings.py:139-158)",
+    )
+    ap.add_argument(
         "--synth-rows-per-quarter",
         type=int,
         default=400,
@@ -207,6 +220,14 @@ def main() -> None:
         fetcher = http_fetcher_factory(ua)
         virtual_clock = False  # real politeness: wall-clock token buckets
 
+    robots_fetcher = None
+    if args.robots:
+        if not args.real_network:
+            raise SystemExit("--robots requires --real-network")
+        from edgar_crawler_spark.frontier.fetch import http_robots_fetcher_factory
+
+        robots_fetcher = http_robots_fetcher_factory(ua)
+
     fr = CrawlFrontier(
         spark,
         args.workdir,
@@ -215,9 +236,17 @@ def main() -> None:
         virtual_clock=virtual_clock,
         wave_quota=args.wave_quota,
         max_wave_rows=args.max_wave_rows,
+        robots_fetcher=robots_fetcher,
         compact_every=args.compact_every,
     )
     report: dict = {}
+    if args.bootstrap_metadata_csv:
+        from edgar_crawler_spark.sources.dims import read_metadata_csv
+
+        n_boot = fr.bootstrap_seen(
+            read_metadata_csv(spark, args.bootstrap_metadata_csv)
+        )
+        report["bootstrapped_seen"] = n_boot
     if args.seed_parquet:
         seed = spark.read.parquet(args.seed_parquet)
     else:

@@ -146,3 +146,32 @@ def test_crawl_to_extract_chain(spark, tmp_path):
         ]
     )
     assert rep2["selected"] == 30 and rep2["extracted"] == 30
+
+
+def test_bootstrap_metadata_csv_skips_prior_crawl(spark, tmp_path):
+    """--bootstrap-metadata-csv: a reference user's incremental re-run —
+    rows already present in FILINGS_METADATA.csv never re-fetch
+    (download_filings.py:139-158), even into a FRESH workdir."""
+    from edgar_crawler_spark.fixtures.seed_index import seed_index_df
+
+    seed_index_df(spark, 20, n_hosts=2, hot_host=False).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "seeds"))
+    rep1 = _run(
+        [
+            "--workdir", str(tmp_path / "wd1"),
+            "--seed-parquet", str(tmp_path / "seeds"),
+            "--metadata-csv", str(tmp_path / "md.csv"),
+        ]
+    )
+    assert rep1["admitted"] == 20
+
+    rep2 = _run(
+        [
+            "--workdir", str(tmp_path / "wd2"),  # fresh state
+            "--seed-parquet", str(tmp_path / "seeds"),
+            "--bootstrap-metadata-csv", str(tmp_path / "md.csv"),
+        ]
+    )
+    assert rep2["bootstrapped_seen"] == 20
+    assert rep2["admitted"] == 0 and rep2["waves"] == []

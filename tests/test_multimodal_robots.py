@@ -71,3 +71,26 @@ def test_robots_gate_blocks_in_fetch(spark):
     assert set(blocked.host) == {"host0.test"}
     assert len(blocked) == len(out[out.host == "host0.test"])
     assert (out[out.host != "host0.test"].state == "fetched").all()
+
+
+def test_robots_gate_through_frontier(spark, tmp_path):
+    """The frontier passes its robots_fetcher through to every wave:
+    disallowed hosts' rows go terminal (never re-dispatched), allowed
+    hosts fetch normally."""
+    from edgar_crawler_spark.frontier.frontier import CrawlFrontier
+
+    def robots(host):
+        return "User-agent: *\nDisallow: /Archives/\n" if host == "host0.test" else None
+
+    fr = CrawlFrontier(
+        spark, str(tmp_path / "w"), robots_fetcher=robots, max_attempts=1
+    )
+    fr.submit(seed_index_df(spark, 40, n_hosts=4, hot_host=False))
+    fr.run(pipeline=False)
+    log = fr.fetch_log().toPandas()
+    assert len(log) == 40
+    blocked = log[log.host == "host0.test"]
+    assert (blocked.error == "robots_disallowed").all()
+    assert (log[log.host != "host0.test"].state == "fetched").all()
+    # blocked rows are terminal: resubmission admits nothing
+    assert fr.submit(seed_index_df(spark, 40, n_hosts=4, hot_host=False)) == 0
