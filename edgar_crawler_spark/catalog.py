@@ -784,6 +784,105 @@ WHERE d.doc_id NOT IN (SELECT node FROM comps WHERE node <> component)
 """
 
 
+def q_pipeline_prep_corpus(spark, sf):
+    """The composite training-data-prep flagship: language gate +
+    quality gate (both pure built-in expression filters) → near-dup
+    removal (LSH candidates → connected components → keep component
+    minimum) → deterministic per-source stratified sample. ONE lazy
+    DataFrame: Catalyst fuses the two gates into a single scan-side
+    filter and the dedup path reuses the bucketed-join operators —
+    exactly how a 100 TB corpus-prep job would be expressed."""
+    from edgar_crawler_spark.operators.sampling import stratified_topk
+
+    docs = t(spark, sf, "documents")
+    en = text.lang_id(docs).filter(F.col("lang_pred") == "en").select("doc_id")
+    good = (
+        text.quality_score(docs).filter(F.col("quality") >= 1.05).select("doc_id")
+    )
+    kept = docs.join(en, "doc_id", "left_semi").join(good, "doc_id", "left_semi")
+    reps = dedup.dedup_representatives(kept, dedup.minhash_lsh_pairs(kept))
+    return stratified_topk(reps, "source", "doc_id", 10).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_SQL_QUALITY_EXPR = """
+  SELECT doc_id,
+         ROUND(
+           (CASE WHEN n_tokens >= 5
+                  AND (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) >= 2
+                  AND (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) <= 12
+                 THEN 1.0 ELSE 0.0 END)
+           - (CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0 END) * 2
+           + (CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END), 6) AS quality
+  FROM (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split(text, ' '),
+                x -> lower(x) IN ('a','the','of','and','to','in'))) AS BIGINT) AS n_stop
+    FROM documents)
+"""
+
+SQL_PIPELINE_PREP = f"""
+WITH RECURSIVE
+quality AS ({_SQL_QUALITY_EXPR}),
+langpred AS (
+  SELECT doc_id,
+         CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                        x -> x IN ('the','a','of','scan','row')))
+                >= len(list_filter(string_split(lower(text), ' '),
+                        x -> x IN ('le','la','de','et','un')))
+              THEN 'en' ELSE 'fr' END AS lang_pred
+  FROM documents),
+kept AS (
+  SELECT d.* FROM documents d
+  JOIN quality q USING (doc_id)
+  JOIN langpred l USING (doc_id)
+  WHERE q.quality >= 1.05 AND l.lang_pred = 'en'),
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM kept)
+  WHERE tok <> ''),
+h AS (SELECT doc_id, {h48_sql("tok")} AS h FROM toks),
+sigs AS (
+  SELECT doc_id, seed,
+         MIN(((2 * seed + 3) * h + (7 * seed + 1)) % {(1 << 61) - 1}) AS minhash
+  FROM h CROSS JOIN generate_series(0, 7) AS g(seed)
+  GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, seed // 2),
+capped AS (
+  SELECT * FROM banded
+  WHERE (band, band_key) IN (
+    SELECT (band, band_key) FROM banded GROUP BY band, band_key HAVING COUNT(*) <= 64)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+comps AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+reps AS (
+  SELECT k.* FROM kept k
+  WHERE k.doc_id NOT IN (SELECT node FROM comps WHERE node <> component))
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY {h48_sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn
+  FROM reps)
+WHERE rn <= 10
+"""
+
+
 def q_sample_hash_bucket(spark, sf):
     from edgar_crawler_spark.operators.sampling import deterministic_sample
 
@@ -1314,6 +1413,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_connected_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_keep_representatives": (q_dedup_representatives, SQL_DEDUP_REPRESENTATIVES),
+    "pipeline_prep_corpus": (q_pipeline_prep_corpus, SQL_PIPELINE_PREP),
     "sample_hash_bucket": (q_sample_hash_bucket, SQL_SAMPLE_HASH_BUCKET),
     "sample_stratified_topk": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "ann_bruteforce_topk": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
