@@ -28,36 +28,45 @@ LSH_BANDS = 4  # k/BANDS rows per band
 SIMHASH_BITS = 32
 
 
-def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, tok) — distinct whitespace tokens per document.
+def tokens(docs: DataFrame, text_col: str = "text", dedup: bool = True) -> DataFrame:
+    """(doc_id, tok) — whitespace tokens per document, distinct by
+    default (set semantics for Jaccard's intersection join).
+
+    ``dedup=False`` skips the (doc_id, tok) dropDuplicates — a FULL
+    shuffle of the exploded token stream — for consumers whose
+    aggregate is duplicate-insensitive (minhash: min() over token
+    hashes is unchanged by repeats).
 
     Explicit repartition before the explode: the documents scan is
     often a single small file (1 task), but the exploded token stream
     is 10-100× larger — fan out BEFORE the multiplication, not after.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    out = (
         docs.repartition(par)
         .select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .filter(F.col("tok") != "")
-        .dropDuplicates(["doc_id", "tok"])
     )
+    return out.dropDuplicates(["doc_id", "tok"]) if dedup else out
 
 
-def shingles(docs: DataFrame, k: int = 8, text_col: str = "text") -> DataFrame:
-    """(doc_id, tok) — distinct character k-gram shingles per doc
-    (the shingling front-end of shingle→minhash→band→bucket-join).
+def shingles(
+    docs: DataFrame, k: int = 8, text_col: str = "text", dedup: bool = True
+) -> DataFrame:
+    """(doc_id, tok) — character k-gram shingles per doc, distinct by
+    default (the shingling front-end of shingle→minhash→band→
+    bucket-join); ``dedup=False`` as in :func:`tokens`.
     Generated JVM-side: explode over a position sequence + substring."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     t = F.col(text_col)
     n = F.greatest(F.length(t) - k + 1, F.lit(0))
-    return (
+    out = (
         docs.repartition(par)
         .filter(n > 0)
         .select("doc_id", F.explode(F.sequence(F.lit(1), n)).alias("pos"), t.alias("__t"))
         .select("doc_id", F.expr(f"substring(__t, pos, {k})").alias("tok"))
-        .dropDuplicates(["doc_id", "tok"])
     )
+    return out.dropDuplicates(["doc_id", "tok"]) if dedup else out
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -90,7 +99,13 @@ def minhash_signatures(
     groupBy — the token stream is never multiplied by k; the unpivot
     to long form happens on one row per doc. ``tokenizer`` selects the
     feature front-end (whitespace tokens or char shingles)."""
-    toks = tokenizer(docs).withColumn("h", h48_col(F.col("tok")))
+    try:
+        # min() is duplicate-insensitive: skip the tokenizer's
+        # (doc_id, tok) distinct — one full token-stream shuffle saved
+        toks = tokenizer(docs, dedup=False)
+    except TypeError:  # custom tokenizer without the dedup knob
+        toks = tokenizer(docs)
+    toks = toks.withColumn("h", h48_col(F.col("tok")))
     coeffs = minhash_coeffs(k)
     wide = toks.groupBy("doc_id").agg(
         *[
