@@ -238,51 +238,88 @@ def simhash_band_bounds(bits: int, bands: int) -> list[tuple[int, int, int]]:
     return bounds
 
 
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int = 6,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over ANY integer sketch
+    column (SimHash over text, perceptual aHash over images, …) via
+    banded candidate generation: split the sketch into ``bands``
+    contiguous bit slices (default ``max_hamming + 1``). By pigeonhole,
+    any pair within Hamming ≤ max_hamming differs in at most
+    max_hamming bands, so it MUST agree exactly on at least one band —
+    candidate recall is guaranteed, not heuristic. Candidates are pairs
+    agreeing on ANY band (key-equality join, no cross join), verified
+    by exact bit_count(xor). Returns (id_a, id_b, hamming) named after
+    ``id_col``: (doc_a, doc_b, hamming) when id_col='doc_id'."""
+    if bands is None:
+        bands = max_hamming + 1
+    prefix = id_col.split("_")[0] if id_col.endswith("_id") else id_col
+    out_a, out_b = f"{prefix}_a", f"{prefix}_b"
+    bounds = simhash_band_bounds(bits, bands)
+    sk = F.col(hash_col)
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        sk.alias("__sk"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(f"({hash_col} >> {start}) & {(1 << w) - 1}").alias(
+                            "byteval"
+                        ),
+                    )
+                    for j, start, w in bounds
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__sk", F.col("b.j").alias("j"), F.col("b.byteval").alias("byteval"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["j", "byteval"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias(out_a),
+            F.col("b.__id").alias(out_b),
+            F.bit_count(F.col("a.__sk").bitwiseXOR(F.col("b.__sk"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates([out_a, out_b])
+    )
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     max_hamming: int = 6,
     bits: int = SIMHASH_BITS,
     bands: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance via banded
-    candidate generation: split the sketch into ``bands`` contiguous
-    bit slices (default ``max_hamming + 1``). By pigeonhole, any pair
-    within Hamming ≤ max_hamming differs in at most max_hamming bands,
-    so it MUST agree exactly on at least one band — candidate recall is
-    guaranteed, not heuristic. Candidates are pairs agreeing on ANY
-    band (key-equality join, no cross join), verified by exact
-    bit_count(xor). Returns (doc_a, doc_b, hamming)."""
-    if bands is None:
-        bands = max_hamming + 1
-    sims = simhash(docs, bits)
-    bounds = simhash_band_bounds(bits, bands)
-    banded = sims.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.expr(f"(simhash >> {start}) & {(1 << w) - 1}").alias("byteval"),
-                    )
-                    for j, start, w in bounds
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.j").alias("j"), F.col("b.byteval").alias("byteval"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, on=["j", "byteval"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
+    """Text near-dup pairs: SimHash sketch → banded Hamming join
+    (see :func:`hamming_near_dup_pairs` for the recall guarantee)."""
+    return hamming_near_dup_pairs(
+        simhash(docs, bits), "doc_id", "simhash", bits, max_hamming, bands
+    )
+
+
+def phash_near_dup_pairs(
+    payload: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    bands: int | None = None,
+) -> DataFrame:
+    """IMAGE near-dup pairs over the payload table's 64-bit perceptual
+    hash column (input_hint: phash int64) — the image-axis twin of
+    SimHash text dedup, sharing the banded Hamming machinery. Returns
+    (image_a, image_b, hamming)."""
+    return hamming_near_dup_pairs(
+        payload, id_col, hash_col, 64, max_hamming, bands
     )
 
 

@@ -148,3 +148,46 @@ def test_connected_components_raises_on_non_convergence(spark):
     pairs = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iterations=2)
+
+
+def test_phash_near_dup_pairs_matches_bruteforce(spark):
+    """Image near-dup via the 64-bit perceptual hash: the banded
+    Hamming join must find EXACTLY the pairs a brute-force O(n²)
+    cross-join finds (pigeonhole recall guarantee), on real payload
+    fixture hashes plus engineered near-duplicates."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.fixtures.payload import make_payload_row
+    from edgar_crawler_spark.operators.dedup import phash_near_dup_pairs
+
+    rows = []
+    for i in range(60):
+        r = make_payload_row(i)
+        rows.append((r["image_id"], int(r["phash"])))
+    # engineered near-dups: flip 1..6 bits of row 0's hash
+    base = rows[0][1]
+    for b in range(6):
+        flipped = base
+        for j in range(b + 1):
+            flipped ^= 1 << (j * 9)
+        rows.append((f"dup{b}", flipped))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+
+    got = {
+        (r.image_a, r.image_b, r.hamming)
+        for r in phash_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r.image_a, r.image_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("a.image_id") < F.col("b.image_id"))
+        .select(
+            F.col("a.image_id").alias("image_a"),
+            F.col("b.image_id").alias("image_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    assert got == brute and len(got) >= 6  # all engineered dups found
