@@ -164,10 +164,14 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
     )
-    # JVM warmup on the smallest SF
-    CATALOG["flagship_frontier_pipeline"][0](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # JVM warmup: run every headline query once at the smallest SF so
+    # the sf0.1 timings measure the plan, not first-run whole-stage
+    # codegen compilation + shuffle-service init (measured 2-2.6×
+    # inflation on the first execution of a query shape)
+    for name in HEADLINE:
+        CATALOG[name][0](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     queries: dict[str, float] = {}
     for name in HEADLINE:
