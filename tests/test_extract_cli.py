@@ -175,3 +175,40 @@ def test_bootstrap_metadata_csv_skips_prior_crawl(spark, tmp_path):
     )
     assert rep2["bootstrapped_seen"] == 20
     assert rep2["admitted"] == 0 and rep2["waves"] == []
+
+
+def test_extract_cli_items_subset(spark, tmp_path):
+    """extract_items.items_to_extract narrows the per-filing output to
+    the requested items (reference determine_items_to_extract,
+    extract_items.py:163-199 — applied per filing, without the
+    reference's cross-filing extractor-state mutation)."""
+    pdf = _prepare_dataset(tmp_path, spark, n=9)
+    cfg = {
+        "download_filings": {"start_year": 2022, "end_year": 2022},
+        "extract_items": {
+            "filing_types": ["10-K"],
+            "items_to_extract": ["1A", "3"],
+            "remove_tables": True,
+            "include_signature": False,
+            "skip_extracted_filings": True,
+        },
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out_dir = tmp_path / "out"
+    rep = _run(
+        [
+            "--extract",
+            "--config", str(cfg_path),
+            "--metadata-csv-in", str(tmp_path / "md.csv"),
+            "--raw-dir", str(tmp_path / "raw"),
+            "--out-dir", str(out_dir),
+        ]
+    )
+    tenks = pdf[pdf["Type"] == "10-K"]
+    assert rep["selected"] == len(tenks) and rep["extracted"] == len(tenks)
+    for _, r in tenks.iterrows():
+        base = r["filename"].split(".")[0]
+        rec = json.loads((out_dir / "10-K" / f"{base}.json").read_text())
+        item_keys = [k for k in rec if k.startswith("item_")]
+        assert item_keys == ["item_1A", "item_3"], item_keys
