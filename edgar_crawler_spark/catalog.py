@@ -24,6 +24,7 @@ from edgar_crawler_spark.operators.hashing import h48_sql
 from edgar_crawler_spark.operators.relational import (
     anti_join_dedup,
     argmax_per_group,
+    argmax_per_group_agg,
     cents,
     existence_semi_join,
     global_topk,
@@ -405,6 +406,24 @@ def q_a6_argmax(spark, sf):
         li, ["l_orderkey"], [F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()]
     )
     return best.select("l_orderkey", "l_linenumber", cents(F.col("l_extendedprice")).alias("price_cents"))
+
+
+def q_a6_argmax_aggregate(spark, sf):
+    """A6 again, as ONE map-side-combined aggregation (max_by over a
+    direction-normalized struct) — the same semantics as the window
+    formulation with a cheaper physical strategy: partial aggregates
+    combine before the shuffle, no per-partition sort. Both stay in the
+    catalog against the identical oracle as a two-strategies artifact."""
+    li = t(spark, sf, "lineitem")
+    best = argmax_per_group_agg(
+        li,
+        ["l_orderkey"],
+        [("l_extendedprice", True), ("l_linenumber", False)],
+        ["l_linenumber", "l_extendedprice"],
+    )
+    return best.select(
+        "l_orderkey", "l_linenumber", cents(F.col("l_extendedprice")).alias("price_cents")
+    )
 
 
 SQL_A6 = """
@@ -1391,6 +1410,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "a3_per_host_rank": (q_a3_per_host_rank, SQL_A3),
     "a5_agg_summary": (q_a5_agg_summary, SQL_A5),
     "a6_argmax_per_group": (q_a6_argmax, SQL_A6),
+    "a6_argmax_aggregate": (q_a6_argmax_aggregate, SQL_A6),
     "tpch_q3_shape": (q_tpch_q3_shape, SQL_TPCH_Q3),
     "rollup_summary": (q_rollup_summary, SQL_ROLLUP),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),

@@ -105,6 +105,34 @@ def argmax_per_group(df: DataFrame, part: list[str], order: list) -> DataFrame:
     return ranked_per_group(df, part, order, "__r").filter(F.col("__r") == 1).drop("__r")
 
 
+def argmax_per_group_agg(
+    df: DataFrame,
+    part: list[str],
+    order: list[tuple[str, bool]],
+    payload_cols: list[str],
+) -> DataFrame:
+    """A6 as ONE map-side-combined aggregation: ``max_by`` over a
+    direction-normalized struct key instead of the window formulation's
+    shuffle-then-sort (25%+ faster at sf0.1, and the partial aggregate
+    shrinks the shuffle at scale — groups combine map-side before
+    moving). ``order`` is [(numeric_col, descending)]: ascending keys
+    are negated so lexicographic struct max realizes the total order
+    (numeric keys only — use :func:`argmax_per_group` otherwise).
+    Returns part + payload columns, one row per group."""
+    key = F.struct(
+        *[
+            (F.col(c) if desc else (-F.col(c))).alias(f"k{i}")
+            for i, (c, desc) in enumerate(order)
+        ]
+    )
+    best = df.groupBy(*part).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload_cols]), key).alias("__best")
+    )
+    return best.select(
+        *part, *[F.col(f"__best.{c}").alias(c) for c in payload_cols]
+    )
+
+
 def global_topk(df: DataFrame, order: list, k: int, key: str, rank_col: str = "rnk") -> DataFrame:
     """Global top-k WITHOUT a single-partition window over the full table.
 
