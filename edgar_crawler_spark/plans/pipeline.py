@@ -5,6 +5,8 @@ SURVEY.md §3).
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -85,3 +87,85 @@ def crawl(
     if log is not None and dim is not None:
         log = enrich_metadata(log, dim).orderBy("year", "quarter", "row_seq")
     return fr, log
+
+
+def extract_from_frontier(
+    spark: SparkSession,
+    workdir: str,
+    items_to_extract: list[str] | None = None,
+    remove_tables: bool = True,
+    include_signature: bool = False,
+    filing_types: list[str] | None = None,
+    skip_extracted: bool = True,
+) -> int:
+    """Stage 2 over the ENGINE's own state tables — the Spark-first
+    chaining (the folder-of-files path exists for reference interchange;
+    this one never materializes per-row files):
+
+        payload.bytes ──decode(backslashreplace)──┐
+        log (fetched, metadata cols)──────────────┴─► T1–T14 kernel
+            → long-form rows appended to the ``extracted`` snapshot
+              table; J5 skip = anti-join against that table.
+
+    The payload side carries the bytes, so the slim metadata side
+    broadcasts into it (never the reverse — the r02 AQE mis-broadcast
+    class). Returns the newly-extracted long-form DataFrame (None when
+    nothing new), already committed.
+    """
+    from edgar_crawler_spark.extract.spark_extract import extract_records, items_long
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+    from edgar_crawler_spark.sources.raw_scan import decode_content
+
+    log_tbl = SnapshotTable(os.path.join(workdir, "log"))
+    payload_tbl = SnapshotTable(os.path.join(workdir, "payload"))
+    extracted_tbl = SnapshotTable(os.path.join(workdir, "extracted"))
+    log = log_tbl.read(spark)
+    payload = payload_tbl.read(spark)
+    if log is None or payload is None:
+        return 0
+
+    md = log.filter(F.col("state") == "fetched")
+    if filing_types:
+        md = md.filter(F.col("type").isin(list(filing_types)))
+    md = md.withColumn("filename", F.coalesce(F.col("filename"), filename_col(md)))
+    if skip_extracted:
+        prev = extracted_tbl.read(spark)
+        if prev is not None:
+            md = md.join(
+                prev.select("filename").dropDuplicates(), "filename", "left_anti"
+            )
+
+    # engine lowercase names → the kernel's reference-cased columns
+    renames = {
+        "cik": "CIK", "company": "Company", "type": "Type", "date": "Date",
+        "period_of_report": "Period of Report", "sic": "SIC",
+        "state_of_inc": "State of Inc", "state_location": "State location",
+        "fiscal_year_end": "Fiscal Year End", "html_index": "html_index",
+        "htm_file_link": "htm_file_link",
+        "complete_text_file_link": "complete_text_file_link",
+        "filename": "filename",
+    }
+    slim = md.select(
+        F.regexp_extract(
+            "canonical_url", r"/(\d{10}-\d{2}-\d{6})(?:-index\.html)?$", 1
+        ).alias("image_id"),
+        *[F.col(low).alias(ref) for low, ref in renames.items()],
+    )
+    # Arrow-boundary discipline (repo pattern): only (image_id, bytes)
+    # crosses into Python; the decoded content joins back to the
+    # JVM-side metadata — bytes never round-trip a second time
+    decoded = decode_content(payload.select("image_id", "bytes")).drop("bytes")
+    work = decoded.join(F.broadcast(slim), "image_id")
+
+    records = extract_records(
+        work,
+        items_to_extract=items_to_extract,
+        remove_tables=remove_tables,
+        include_signature=include_signature,
+    )
+    long_rows = items_long(records).persist()
+    n = long_rows.count()
+    if n:
+        extracted_tbl.append(long_rows, metrics={"rows": n})
+    long_rows.unpersist()
+    return n
