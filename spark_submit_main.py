@@ -380,6 +380,26 @@ def run_extract_stage(spark, args, ex_cfg, runlog=None) -> None:
 
     ex_cfg = dict(EXTRACT_DEFAULTS, **(ex_cfg or {}))
 
+    if args.workdir and not (args.raw_dir or args.metadata_csv_in):
+        # table-native stage 2: extract straight from the frontier's
+        # payload/log snapshot tables into the 'extracted' table —
+        # no folder-of-files round-trip (plans.pipeline.extract_from_frontier)
+        from edgar_crawler_spark.plans.pipeline import extract_from_frontier
+
+        n = extract_from_frontier(
+            spark,
+            args.workdir,
+            items_to_extract=ex_cfg.get("items_to_extract") or None,
+            remove_tables=ex_cfg["remove_tables"],
+            include_signature=ex_cfg["include_signature"],
+            filing_types=ex_cfg.get("filing_types") or None,
+            skip_extracted=ex_cfg["skip_extracted_filings"],
+        )
+        if runlog:
+            runlog.info("table-native extraction appended %d item rows", n)
+        print(json.dumps({"extracted_rows": n, "workdir": args.workdir}))
+        return
+
     def resolved(flag_value: str | None, cfg_key: str) -> str | None:
         if flag_value:
             return flag_value

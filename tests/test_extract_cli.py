@@ -148,6 +148,38 @@ def test_crawl_to_extract_chain(spark, tmp_path):
     assert rep2["selected"] == 30 and rep2["extracted"] == 30
 
 
+def test_extract_cli_table_native_workdir(spark, tmp_path):
+    """--extract --workdir runs stage 2 straight off the frontier's
+    payload/log snapshot tables (no folder-of-files round-trip); the
+    second run's J5 anti-join extracts nothing new."""
+    from edgar_crawler_spark.fixtures.seed_index import seed_index_df
+    from edgar_crawler_spark.frontier.frontier import CrawlFrontier
+
+    def filing_fetcher(url: str, attempt: int):
+        import re
+
+        from edgar_crawler_spark.fixtures.raw_documents import make_8k, make_10k, make_10q
+
+        i = int(re.search(r"-(\d{6})-index\.html$", url).group(1))
+        return 200, [make_10k, make_10q, make_8k][i % 3](i).encode(), None
+
+    wd = str(tmp_path / "wd")
+    fr = CrawlFrontier(spark, wd, fetcher=filing_fetcher)
+    fr.submit(seed_index_df(spark, 18, n_hosts=2, hot_host=False))
+    fr.run()
+
+    rep2 = _run(["--extract", "--workdir", str(tmp_path / "wd")])
+    assert rep2["extracted_rows"] > 0
+
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "wd" / "extracted")).read(spark)
+    assert tbl.count() == rep2["extracted_rows"]
+
+    rep3 = _run(["--extract", "--workdir", str(tmp_path / "wd")])
+    assert rep3["extracted_rows"] == 0
+
+
 def test_bootstrap_metadata_csv_skips_prior_crawl(spark, tmp_path):
     """--bootstrap-metadata-csv: a reference user's incremental re-run —
     rows already present in FILINGS_METADATA.csv never re-fetch
