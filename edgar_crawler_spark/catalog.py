@@ -1232,6 +1232,57 @@ SQL_TEXT_FINGERPRINT = (
 )
 
 
+def q_text_dup_ngram_stats(spark, sf):
+    return text.dup_ngram_stats(t(spark, sf, "documents"), n=2)
+
+
+def _word_ngram_cte(n: int, where: str = "") -> str:
+    """DuckDB mirror of operators.text._word_ngrams: list slice over
+    the filtered token list, lateral generate_series over positions."""
+    k = n - 1
+    return f"""
+toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         FROM documents{where}),
+g AS (SELECT doc_id, array_to_string(ts[i:i+{k}], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - {k})) AS u(i)
+      WHERE len(ts) >= {n})"""
+
+
+SQL_TEXT_DUP_NGRAM = f"""
+WITH {_word_ngram_cte(2)},
+per AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+       ROUND(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_gram_ratio,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_gram_ratio
+FROM per GROUP BY doc_id
+"""
+
+
+def q_text_decontaminate(spark, sf):
+    docs = t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return text.decontamination_overlap(corpus, bench, n=3, threshold=0.8)
+
+
+SQL_TEXT_DECONTAMINATE = f"""
+WITH {_word_ngram_cte(3)},
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+bench AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 17 = 0),
+corpus AS (SELECT doc_id, COUNT(*) AS n_grams FROM gd WHERE doc_id % 17 <> 0 GROUP BY 1),
+ov AS (SELECT gd.doc_id, COUNT(*) AS n_overlap
+       FROM gd JOIN bench USING (gram) WHERE gd.doc_id % 17 <> 0 GROUP BY 1)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(n_overlap, 0) / CAST(n_grams AS DOUBLE), 6) AS contamination_ratio,
+       COALESCE(n_overlap, 0) / CAST(n_grams AS DOUBLE) >= 0.8 AS contaminated
+FROM corpus LEFT JOIN ov USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # events (streaming analogues in batch form)
 # --------------------------------------------------------------------------
@@ -1445,6 +1496,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality_score": (q_text_quality, SQL_TEXT_QUALITY),
     "text_lang_id": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_dup_ngram_stats": (q_text_dup_ngram_stats, SQL_TEXT_DUP_NGRAM),
+    "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "text_winnowing_fingerprints": (q_text_winnowing, SQL_TEXT_WINNOWING),
     "text_tfidf_top_terms": (q_text_tfidf, SQL_TEXT_TFIDF),
     "extract_items_long": (q_extract_items_long, None),

@@ -142,6 +142,87 @@ def tfidf_top_terms(docs: DataFrame, top: int = 3, text_col: str = "text") -> Da
     )
 
 
+def _word_ngrams(docs: DataFrame, n: int, text_col: str) -> DataFrame:
+    """(doc_id, gram) — one row per word n-gram occurrence. Pure
+    JVM-side array ops; docs shorter than n tokens drop out (the
+    sequence guard also avoids Spark's descending sequence(1, 0))."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    return (
+        docs.select("doc_id", toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(__toks, i, {n})))"
+                )
+            ).alias("gram"),
+        )
+    )
+
+
+def dup_ngram_stats(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signal (Rae et al. 2021 §A1.1):
+    per document, the fraction of word n-grams that are duplicates and
+    the fraction taken by the single most frequent n-gram. High values
+    flag boilerplate/spam for a training-data filter.
+
+    Plan: explode n-grams → one map-side-combined groupBy
+    (doc_id, gram) → one groupBy(doc_id) with sum/count/max. Both
+    aggregations partial-combine, so the shuffle carries only distinct
+    (doc, gram) counts — scales linearly in corpus size."""
+    per = _word_ngrams(docs, n, text_col).groupBy("doc_id", "gram").agg(
+        F.count("*").alias("c")
+    )
+    total = F.sum("c")
+    return per.groupBy("doc_id").agg(
+        total.cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_distinct_grams"),
+        F.round(F.lit(1.0) - F.count("*") / total.cast("double"), 6).alias("dup_gram_ratio"),
+        F.round(F.max("c") / total.cast("double"), 6).alias("top_gram_ratio"),
+    )
+
+
+def decontamination_overlap(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination for a training corpus: for each
+    candidate document, the fraction of its distinct word n-grams that
+    appear anywhere in the benchmark set (the standard n-gram-overlap
+    test used to strip eval contamination from pretraining data).
+
+    Plan: both sides reduce to distinct n-grams; the benchmark side is
+    tiny relative to the corpus, so its distinct-gram set BROADCASTS
+    into the corpus-side join — no shuffle of the 100 TB side beyond
+    the per-doc distinct. Returns (doc_id, n_grams, n_overlap,
+    contamination_ratio, contaminated)."""
+    corpus_grams = _word_ngrams(docs, n, text_col).dropDuplicates(["doc_id", "gram"])
+    bench_grams = _word_ngrams(bench_docs, n, text_col).select("gram").dropDuplicates()
+    totals = corpus_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    ratio = F.col("n_overlap") / F.col("n_grams").cast("double")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.round(ratio, 6).alias("contamination_ratio"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return docs.select(

@@ -1,0 +1,54 @@
+"""Training-data quality filters: Gopher-style n-gram repetition and
+benchmark decontamination (operators/text.py), on handcrafted docs
+with known answers (the catalog oracle covers the corpus-scale path).
+"""
+
+import pyspark.sql.functions as F
+
+from edgar_crawler_spark.operators import text
+
+
+def test_dup_ngram_stats_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "w x y z"),            # all distinct
+            (3, "solo"),               # < n tokens: drops out
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text.dup_ngram_stats(docs, n=2).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_grams == 5 and rows[1].n_distinct_grams == 2
+    assert abs(rows[1].dup_gram_ratio - 0.6) < 1e-9
+    assert abs(rows[1].top_gram_ratio - 0.6) < 1e-9  # 'a b' x3 of 5
+    assert rows[2].dup_gram_ratio == 0.0 and rows[2].n_grams == 3
+
+
+def test_decontamination_overlap_flags_contained_doc(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # fully inside benchmark
+            (2, "an entirely different sentence here"),
+            (3, "quick brown fox but then it diverges wildly"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.decontamination_overlap(docs, bench, n=3).collect()}
+    assert out[1].contaminated and out[1].contamination_ratio == 1.0
+    assert not out[2].contaminated and out[2].n_overlap == 0
+    assert not out[3].contaminated and out[3].n_overlap == 1  # 'quick brown fox'
+
+
+def test_decontamination_broadcasts_bench_side(spark):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string"), F.lit(" a b c d")).alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    plan = text.decontamination_overlap(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
