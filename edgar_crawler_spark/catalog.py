@@ -1098,6 +1098,61 @@ WHERE rnk <= 5
 SQL_ANN_IVF_NPROBE = _ivf_nprobe_sql(_IVF_NPROBE)
 
 
+def q_ann_kmeans_assign(spark, sf):
+    """Lloyd-refined IVF quantizer: 2 assign/update rounds from the
+    deterministic seed, final (vec_id, cell, score) assignments. The
+    oracle unrolls both rounds as CTEs over the same seed literals."""
+    _cents, assigned = similarity.kmeans_refine(
+        t(spark, sf, "embeddings"), n_cells=8, dim=64, iterations=2
+    )
+    return assigned
+
+
+def _kmeans_sql(iterations: int = 2, n_cells: int = 8, dim: int = 64) -> str:
+    # seed = L2-normalized ivf_centroids, emitted at full Python-float
+    # precision (repr round-trips exactly → both engines start from
+    # bit-identical seeds)
+    cents = []
+    for c in similarity.ivf_centroids(n_cells, dim):
+        nrm = sum(float(x) * float(x) for x in c) ** 0.5 or 1.0
+        cents.append([float(x) / nrm for x in c])
+    arrs = ["[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents]
+    cent_rows = ", ".join(f"({j}, {a})" for j, a in enumerate(arrs))
+    avg_list = "list_value(" + ", ".join(f"avg(v[{d + 1}])" for d in range(dim)) + ")"
+
+    def assign_cte(name: str, cent_tbl: str) -> str:
+        return f"""
+{name} AS (SELECT vec_id, v, j AS cell, dot FROM (
+  SELECT e.vec_id, e.v, c.j, list_inner_product(e.v, c.cv) AS dot,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_inner_product(e.v, c.cv) DESC, c.j ASC) AS r
+  FROM e CROSS JOIN {cent_tbl} c) WHERE r = 1)"""
+
+    ctes = [f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+            f"ct0(j, cv) AS (SELECT * FROM (VALUES {cent_rows}))"]
+    for i in range(iterations):
+        ctes.append(assign_cte(f"a{i}", f"ct{i}"))
+        # spherical update: mean then L2-normalize; empty/zero cells
+        # keep the previous centroid (mirrors kmeans_refine exactly)
+        ctes.append(
+            f"upd{i} AS (SELECT j, list_transform(mv, x -> x / nrm) AS cv FROM ("
+            f"SELECT cell AS j, mv, sqrt(list_inner_product(mv, mv)) AS nrm FROM ("
+            f"SELECT cell, {avg_list} AS mv FROM a{i} GROUP BY cell)) WHERE nrm > 0)"
+        )
+        ctes.append(
+            f"ct{i + 1} AS (SELECT c.j, COALESCE(u.cv, c.cv) AS cv "
+            f"FROM ct{i} c LEFT JOIN upd{i} u USING (j))"
+        )
+    ctes.append(assign_cte("afinal", f"ct{iterations}"))
+    return (
+        "WITH " + ",".join(ctes)
+        + "\nSELECT vec_id, cell, ROUND(dot, 4) AS score FROM afinal"
+    )
+
+
+SQL_ANN_KMEANS = _kmeans_sql(2)
+
+
 def q_emb_near_dup(spark, sf):
     return similarity.embedding_near_dup_pairs(t(spark, sf, "embeddings"), threshold=0.25)
 
@@ -1491,6 +1546,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_nprobe_topk": (q_ann_ivf_nprobe, SQL_ANN_IVF_NPROBE),
+    "ann_kmeans_assign": (q_ann_kmeans_assign, SQL_ANN_KMEANS),
     "emb_near_dup_pairs": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_quality_score": (q_text_quality, SQL_TEXT_QUALITY),

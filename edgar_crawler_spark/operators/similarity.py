@@ -142,6 +142,62 @@ def _probe_cells_col(vec: Column, cents: list[list[int]], nprobe: int) -> Column
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["j"])
 
 
+def kmeans_refine(
+    emb: DataFrame,
+    n_cells: int = 8,
+    dim: int = 64,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Spherical k-means from the deterministic :func:`ivf_centroids`
+    seed — the 'trained quantizer' the IVF docstring promises. The
+    assignment rule is IDENTICAL to :func:`_cell_col` (argmax centroid
+    dot, ties → lowest cell); the update is mean-then-L2-normalize,
+    which makes the dot objective monotone non-decreasing between
+    refined rounds (Dhillon & Modha 2001) and keeps argmax-dot
+    assignment meaningful, so the refined centroids drop straight into
+    :func:`ivf_topk` via its ``cents=`` hook.
+
+    Distributed shape per round: one map-side-combined groupBy — each
+    executor partial-aggregates k×(dim+1) doubles, the shuffle carries
+    only those partials, and the driver collects k rows (model state is
+    broadcast-scale by definition; this is the canonical Spark k-means
+    loop). Empty or zero-mean cells keep their previous centroid.
+    Returns (refined_centroids, assignments) where assignments is
+    (vec_id, cell, score) under the final centroids — score = the
+    winning centroid dot, the spherical-k-means objective.
+
+    The seed is the L2-NORMALIZED :func:`ivf_centroids` matrix: the
+    monotonicity argument needs every centroid on the unit sphere
+    (replacing a norm-16 integer seed row with a unit mean could
+    *lower* the dot objective)."""
+    cents = []
+    for c in ivf_centroids(n_cells, dim):
+        nrm = sum(float(x) * float(x) for x in c) ** 0.5 or 1.0
+        cents.append([float(x) / nrm for x in c])
+    df = emb.select("vec_id", F.col(vec_col).alias("v"))
+    for _ in range(iterations):
+        assigned = df.withColumn("cell", _cell_col(F.col("v"), cents))
+        rows = assigned.groupBy("cell").agg(
+            *[F.avg(F.col("v")[d].cast("double")).alias(f"m{d}") for d in range(dim)]
+        ).collect()
+        new = {}
+        for r in rows:
+            m = [r[f"m{d}"] for d in range(dim)]
+            nrm = sum(x * x for x in m) ** 0.5
+            if nrm > 0:
+                new[r["cell"]] = [x / nrm for x in m]
+        cents = [new.get(j, cents[j]) for j in range(n_cells)]
+    out = df.withColumn("cell", _cell_col(F.col("v"), cents)).select(
+        "vec_id",
+        "cell",
+        F.round(
+            F.greatest(*[_dot(F.col("v"), F.array(*[F.lit(x) for x in c])) for c in cents]), 4
+        ).alias("score"),
+    )
+    return cents, out
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -150,6 +206,7 @@ def ivf_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     nprobe: int = 1,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest
     centroid cell; a query probes its ``nprobe`` best cells (the
@@ -159,8 +216,11 @@ def ivf_topk(
     path but with a learned/structured quantizer; probing explodes
     each QUERY nprobe× (queries are the small side), candidates keep
     one cell each, so a (query, candidate) pair appears at most once
-    and needs no dedup. Same output shape as brute_force_topk."""
-    cents = ivf_centroids(n_cells, dim)
+    and needs no dedup. Same output shape as brute_force_topk.
+    ``cents`` injects a trained quantizer (see :func:`kmeans_refine`);
+    default is the deterministic seed."""
+    if cents is None:
+        cents = ivf_centroids(n_cells, dim)
     withc = emb.withColumn("cell", _cell_col(F.col(vec_col), cents))
     queries = emb.filter(F.col("vec_id").isin(query_ids))
     q = queries.select(

@@ -191,3 +191,31 @@ def test_phash_near_dup_pairs_matches_bruteforce(spark):
         .collect()
     }
     assert got == brute and len(got) >= 6  # all engineered dups found
+
+
+def test_kmeans_refine_improves_quantizer(spark):
+    """Lloyd rounds must not worsen the objective (mean winning dot),
+    and refined centroids slot into ivf_topk via the cents hook."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.operators.similarity import ivf_topk, kmeans_refine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def mean_score(it):
+        _, assigned = kmeans_refine(emb, iterations=it)
+        return assigned.agg(F.avg("score")).collect()[0][0]
+
+    # spherical k-means: every centroid lives on the unit sphere (seed
+    # included), so the dot objective is monotone non-decreasing
+    scores = [mean_score(it) for it in range(4)]
+    for a, b in zip(scores, scores[1:]):
+        assert b >= a - 1e-9, scores
+
+    cents, _ = kmeans_refine(emb, iterations=2)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    qids = [r.vec_id for r in emb.select("vec_id").limit(3).collect()]
+    out = ivf_topk(emb, qids, k=3, cents=cents)
+    got = out.groupBy("query_id").count().collect()
+    assert {r.query_id for r in got} == set(qids)
+    assert all(r["count"] <= 3 for r in got)
