@@ -803,6 +803,14 @@ WHERE d.doc_id NOT IN (SELECT node FROM comps WHERE node <> component)
 """
 
 
+def q_dedup_best_representatives(spark, sf):
+    """near-dup removal keeping the best-QUALITY member per component
+    (ties → lowest doc_id); singletons survive untouched."""
+    docs = t(spark, sf, "documents")
+    scores = text.quality_score(docs).select("doc_id", F.col("quality").alias("score"))
+    return dedup.dedup_representatives_by(docs, dedup.minhash_lsh_pairs(docs), scores)
+
+
 def q_pipeline_prep_corpus(spark, sf):
     """The composite training-data-prep flagship: language gate +
     quality gate (both pure built-in expression filters) → near-dup
@@ -843,6 +851,19 @@ _SQL_QUALITY_EXPR = """
                 x -> lower(x) IN ('a','the','of','and','to','in'))) AS BIGINT) AS n_stop
     FROM documents)
 """
+
+SQL_DEDUP_BEST_REPRESENTATIVES = f"""
+WITH RECURSIVE {_SQL_TOKS},
+{_SQL_LSH_PAIRS},
+quality AS ({_SQL_QUALITY_EXPR}),
+ranked AS (
+  SELECT c.node, ROW_NUMBER() OVER (
+           PARTITION BY c.component ORDER BY q.quality DESC, c.node ASC) AS r
+  FROM comps c JOIN quality q ON q.doc_id = c.node)
+SELECT d.* FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM ranked WHERE r > 1)
+"""
+
 
 SQL_PIPELINE_PREP = f"""
 WITH RECURSIVE
@@ -1539,6 +1560,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_connected_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_keep_representatives": (q_dedup_representatives, SQL_DEDUP_REPRESENTATIVES),
+    "dedup_best_representatives": (q_dedup_best_representatives, SQL_DEDUP_BEST_REPRESENTATIVES),
     "pipeline_prep_corpus": (q_pipeline_prep_corpus, SQL_PIPELINE_PREP),
     "sample_hash_bucket": (q_sample_hash_bucket, SQL_SAMPLE_HASH_BUCKET),
     "sample_stratified_topk": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),

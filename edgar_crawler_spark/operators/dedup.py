@@ -440,6 +440,41 @@ def dedup_representatives(
     return docs.join(losers.hint("shuffle_hash"), on=id_col, how="left_anti")
 
 
+def dedup_representatives_by(
+    docs: DataFrame,
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Near-dup removal keeping the BEST-scoring member per component
+    (ties → lowest id) instead of the minimum id — the production
+    semantics when a quality signal exists ('of the k copies, keep the
+    cleanest'). ``scores`` is (id_col, score_col), e.g. the output of
+    :func:`operators.text.quality_score`.
+
+    Plan: components (pair-graph members only, small) join scores, ONE
+    map-side-combined groupBy computing the argmax via max(struct) —
+    the A6 aggregation-argmax pattern, deterministic under ties — then
+    an anti-join of the full docs table against the loser set. Like
+    :func:`dedup_representatives`, the big table is never shuffled and
+    the checkpoint-backed loser side carries a shuffle_hash hint."""
+    comps = connected_components(pairs)
+    member_scores = comps.join(
+        scores.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
+        "node",
+    )
+    winners = member_scores.groupBy("component").agg(
+        F.max(F.struct(F.col("__s"), (-F.col("node")).alias("__neg"))).alias("w")
+    ).select((-F.col("w.__neg")).alias("__winner"))
+    losers = member_scores.join(
+        winners.hint("shuffle_hash"),
+        member_scores["node"] == F.col("__winner"),
+        "left_anti",
+    ).select(F.col("node").alias(id_col))
+    return docs.join(losers.hint("shuffle_hash"), on=id_col, how="left_anti")
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash) — classic Charikar sketch over token hashes:
     bit b of the sketch = majority of bit b across H48(token).

@@ -219,3 +219,27 @@ def test_kmeans_refine_improves_quantizer(spark):
     got = out.groupBy("query_id").count().collect()
     assert {r.query_id for r in got} == set(qids)
     assert all(r["count"] <= 3 for r in got)
+
+
+def test_dedup_representatives_by_keeps_best_scorer(spark):
+    """Quality-aware representative: the argmax-score member survives
+    (NOT the min id), ties break to the lowest id, singletons pass."""
+    from edgar_crawler_spark.operators.dedup import dedup_representatives_by
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 8)], ["doc_id", "text"]
+    )
+    # components: {1,2,3} and {5,6}; 4 and 7 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5), (4, 0.0), (5, 0.7), (6, 0.7), (7, 0.2)],
+        ["doc_id", "score"],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_representatives_by(docs, pairs, scores).collect()
+    )
+    # 2 wins {1,2,3} on score; 5 wins {5,6} on the id tie-break
+    assert kept == [2, 4, 5, 7]
