@@ -323,6 +323,30 @@ def phash_near_dup_pairs(
     )
 
 
+def image_dedup_representatives(
+    payload: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    scores: DataFrame | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """The full image-dedup pipeline over the payload table: phash
+    banded-Hamming candidate pairs → connected components → one
+    representative per visual cluster (min image_id, or the best
+    ``scores`` row when given — e.g. resolution w*h so the sharpest
+    copy survives). The image-axis twin of the text path
+    candidates→components→representatives; every stage is the same
+    bucketed machinery."""
+    pairs = phash_near_dup_pairs(payload, max_hamming, id_col, hash_col)
+    pairs = pairs.withColumnRenamed("image_a", "doc_a").withColumnRenamed(
+        "image_b", "doc_b"
+    )
+    if scores is None:
+        return dedup_representatives(payload, pairs, id_col=id_col)
+    return dedup_representatives_by(payload, pairs, scores, id_col=id_col, score_col=score_col)
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
@@ -464,9 +488,11 @@ def dedup_representatives_by(
         scores.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
         "node",
     )
+    # argmax score, ties → lowest id, for ANY orderable id type:
+    # min over (-score, id) == (score desc, id asc)
     winners = member_scores.groupBy("component").agg(
-        F.max(F.struct(F.col("__s"), (-F.col("node")).alias("__neg"))).alias("w")
-    ).select((-F.col("w.__neg")).alias("__winner"))
+        F.min(F.struct((-F.col("__s")).alias("__ns"), F.col("node").alias("__n"))).alias("w")
+    ).select(F.col("w.__n").alias("__winner"))
     losers = member_scores.join(
         winners.hint("shuffle_hash"),
         member_scores["node"] == F.col("__winner"),

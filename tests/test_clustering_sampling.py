@@ -243,3 +243,35 @@ def test_dedup_representatives_by_keeps_best_scorer(spark):
     )
     # 2 wins {1,2,3} on score; 5 wins {5,6} on the id tie-break
     assert kept == [2, 4, 5, 7]
+
+
+def test_image_dedup_representatives_resolution_aware(spark):
+    """Image-axis dedup end-to-end: phash pairs → components → one
+    survivor per visual cluster; with a resolution score the SHARPEST
+    copy survives instead of the lexicographically-first id."""
+    from edgar_crawler_spark.fixtures.payload import make_payload_row
+    from edgar_crawler_spark.operators.dedup import image_dedup_representatives
+
+    rows = []
+    for i in range(40):
+        r = make_payload_row(i)
+        rows.append((r["image_id"], int(r["phash"]), 64, 64))
+    # a visual cluster: 2 near-copies of image 0's hash, one hi-res
+    base = rows[0][1]
+    rows.append(("zcopy_lo", base ^ 1, 32, 32))
+    rows.append(("zcopy_hi", base ^ (1 << 20), 512, 512))
+    df = spark.createDataFrame(rows, "image_id string, phash long, w int, h int")
+
+    kept_min = {r.image_id for r in image_dedup_representatives(df).collect()}
+    assert rows[0][0] in kept_min  # min-id representative
+    assert "zcopy_lo" not in kept_min and "zcopy_hi" not in kept_min
+
+    scores = df.selectExpr("image_id", "CAST(w AS BIGINT) * h AS score")
+    kept_best = {
+        r.image_id
+        for r in image_dedup_representatives(df, scores=scores).collect()
+    }
+    assert "zcopy_hi" in kept_best  # sharpest copy survives
+    assert rows[0][0] not in kept_best and "zcopy_lo" not in kept_best
+    # cluster-external images are untouched either way
+    assert len(kept_best) == len(kept_min) == len(rows) - 2
