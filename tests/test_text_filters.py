@@ -52,3 +52,41 @@ def test_decontamination_broadcasts_bench_side(spark):
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     plan = text.decontamination_overlap(docs, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dup_ngram_stats_randomized_vs_python(spark):
+    """200 random docs, one Spark job, per-doc values cross-checked
+    against a pure-python n-gram counter."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(200)
+    ]
+
+    def expected(s, n=2):
+        toks = [t for t in s.split(" ") if t]
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            return None
+        c = Counter(grams)
+        total, distinct = len(grams), len(c)
+        return (total, distinct,
+                round(1 - distinct / total, 6),
+                round(max(c.values()) / total, 6))
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_distinct_grams, r.dup_gram_ratio, r.top_gram_ratio)
+        for r in text.dup_ngram_stats(
+            spark.createDataFrame(docs, ["doc_id", "text"]), n=2
+        ).collect()
+    }
+    for i, s in docs:
+        exp = expected(s)
+        if exp is None:
+            assert i not in got
+        else:
+            assert got[i] == exp, (i, s, got[i], exp)
