@@ -129,6 +129,100 @@ def minhash_signatures(
 LSH_BUCKET_CAP = 64
 
 
+def band_rows(
+    docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS, tokenizer=tokens
+) -> DataFrame:
+    """(doc_id, band, band_key) — each doc's banded LSH bucket keys
+    (band key = that band's minhashes in seed order; collect_list
+    order is nondeterministic, so (seed, minhash) structs are sorted
+    first). Shared by the one-shot pair join and the persisted
+    incremental index."""
+    sigs = minhash_signatures(docs, k, tokenizer=tokenizer)
+    rows_per_band = k // bands
+    return (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda x: x["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+
+
+class IncrementalLSHIndex:
+    """Persisted banded-LSH bucket table: near-dup candidate pairs for
+    a NEW batch of documents against everything already ingested,
+    without recomputing the corpus — the 100 TB ingestion shape (daily
+    crawl slices deduped against the whole history). The URL-seen
+    twin on the document side: PersistedBloomTable answers 'seen this
+    exact key?', this answers 'near-duplicate of anything so far?'.
+
+    State is one snapshot table of (doc_id, band, band_key) rows —
+    k/bands integers per doc, NOT the token stream — appended per
+    batch with the same crash-safe manifest commits as the frontier
+    tables. ``add(batch)`` returns every candidate pair touching the
+    batch: batch×corpus plus batch-internal, via ONE key-equality join
+    on (band, band_key); only the batch is re-signed.
+
+    ``bucket_cap`` applies at emission time over corpus∪batch: a
+    bucket that outgrows the cap stops emitting from then on (output
+    is monotone — pairs already emitted are not retracted), matching
+    the batch operator exactly whenever no bucket ever exceeds the
+    cap."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        k: int = MINHASH_K,
+        bands: int = LSH_BANDS,
+        bucket_cap: int = LSH_BUCKET_CAP,
+        tokenizer=tokens,
+    ):
+        from edgar_crawler_spark.frontier.state import SnapshotTable
+
+        self.spark = spark
+        self.table = SnapshotTable(path)
+        self.k, self.bands, self.bucket_cap = k, bands, bucket_cap
+        self.tokenizer = tokenizer
+
+    def add(self, docs: DataFrame) -> DataFrame:
+        """Ingest a batch; returns distinct (doc_a, doc_b) candidate
+        pairs (lexicographic order) with at least one batch member.
+        The returned frame is materialized (the state append must not
+        recompute through it)."""
+        new_rows = band_rows(docs, self.k, self.bands, tokenizer=self.tokenizer).persist()
+        old = self.table.read(self.spark)
+        all_rows = new_rows if old is None else old.unionByName(new_rows)
+        ok_buckets = (
+            all_rows.groupBy("band", "band_key")
+            .agg(F.count("*").alias("__sz"))
+            .filter(F.col("__sz") <= self.bucket_cap)
+            .drop("__sz")
+        )
+        a = new_rows.join(ok_buckets, ["band", "band_key"], "left_semi").alias("a")
+        b = all_rows.join(ok_buckets, ["band", "band_key"], "left_semi").alias("b")
+        pairs = (
+            a.join(b, on=["band", "band_key"])
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            )
+            .dropDuplicates()
+            .persist()
+        )
+        pairs.count()  # materialize before the state append
+        self.table.append(new_rows, metrics={"docs": docs.count()})
+        new_rows.unpersist()
+        return pairs
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = MINHASH_K,
@@ -146,23 +240,7 @@ def minhash_lsh_pairs(
     10^10 pairs and carries almost no signal). The cap is explicit and
     mirrored in the DuckDB oracle, not silent.
     """
-    sigs = minhash_signatures(docs, k, tokenizer=tokenizer)
-    rows_per_band = k // bands
-    banded = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        # band key = minhashes in seed order (collect_list order is not
-        # deterministic, so sort (seed, minhash) structs first)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda x: x["minhash"].cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
-        )
-    )
+    banded = band_rows(docs, k, bands, tokenizer=tokenizer)
     bucket_sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("__sz"))
     capped = banded.join(
         bucket_sizes.filter(F.col("__sz") <= bucket_cap).drop("__sz"),

@@ -1,0 +1,58 @@
+"""IncrementalLSHIndex: batch-by-batch near-dup candidates against the
+persisted corpus state must reproduce the one-shot batch operator."""
+
+import pyspark.sql.functions as F
+
+from edgar_crawler_spark.operators.dedup import IncrementalLSHIndex, minhash_lsh_pairs
+
+
+def _docs(spark, lo, hi):
+    # every i and i+1000 share text when i % 3 == 0 -> cross-batch dups
+    rows = []
+    for i in range(lo, hi):
+        base = i - (i % 3 == 0) * (i % 1000)  # collapse some ids to shared text
+        rows.append((i, f"alpha beta gamma delta {base % 17} epsilon {base % 5} zeta"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_incremental_equals_batch(spark, tmp_path):
+    full = _docs(spark, 0, 120)
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(full, bucket_cap=10**6).collect()
+    }
+
+    idx = IncrementalLSHIndex(spark, str(tmp_path / "lsh"), bucket_cap=10**6)
+    got = set()
+    for lo, hi in [(0, 40), (40, 80), (80, 120)]:
+        pairs = idx.add(_docs(spark, lo, hi))
+        batch_pairs = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        # every emitted pair touches the new batch
+        assert all(lo <= a < hi or lo <= b < hi for a, b in batch_pairs)
+        got |= batch_pairs
+    assert got == expected
+
+
+def test_incremental_state_survives_reopen(spark, tmp_path):
+    path = str(tmp_path / "lsh")
+    IncrementalLSHIndex(spark, path).add(_docs(spark, 0, 30))
+    # a NEW index object over the same path sees the old corpus
+    idx2 = IncrementalLSHIndex(spark, path)
+    dup_of_0 = spark.createDataFrame(
+        [(9000, _docs(spark, 0, 1).collect()[0].text)], ["doc_id", "text"]
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in idx2.add(dup_of_0).collect()}
+    assert (0, 9000) in pairs
+
+
+def test_bucket_cap_stops_emission_monotonically(spark, tmp_path):
+    # 30 identical docs, cap 10: batch1 (8 docs) emits all its pairs,
+    # batch2 pushes the bucket past the cap -> no new emissions
+    same = [(i, "x y z x y z") for i in range(30)]
+    b1 = spark.createDataFrame(same[:8], ["doc_id", "text"])
+    b2 = spark.createDataFrame(same[8:], ["doc_id", "text"])
+    idx = IncrementalLSHIndex(spark, str(tmp_path / "lsh"), bucket_cap=10)
+    p1 = idx.add(b1)
+    assert p1.count() == 8 * 7 // 2
+    p2 = idx.add(b2)
+    assert p2.count() == 0
