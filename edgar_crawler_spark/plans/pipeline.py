@@ -89,6 +89,84 @@ def crawl(
     return fr, log
 
 
+def caption_near_dups_from_frontier(
+    spark: SparkSession,
+    workdir: str,
+    index_path: str | None = None,
+    max_hamming: int = 6,
+) -> DataFrame | None:
+    """Post-crawl near-dup detection over THIS workdir's payload table,
+    incremental across runs — the image+caption corpus twin of the
+    URL-seen filter (that one says 'fetched this URL'; this says 'the
+    content is a near-copy of something already crawled').
+
+    Two independent signals, unioned with a `via` tag:
+    * caption text → persisted banded-MinHash index
+      (:class:`IncrementalLSHIndex` at ``index_path``, default
+      ``<workdir>/caption_lsh``) — only payload rows NEWER than the
+      index state are signed, so a daily re-run pays for the new slice
+      only;
+    * phash → banded Hamming pairs within the batch∪corpus hash set
+      (64-bit hashes are cheap enough to keep in one snapshot table).
+
+    Returns (doc_a, doc_b, via) or None when the payload table is
+    empty. Results append to the ``near_dup_pairs`` table with the
+    same manifest commits as every other state table."""
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+    from edgar_crawler_spark.operators.dedup import (
+        IncrementalLSHIndex,
+        hamming_near_dup_pairs,
+    )
+
+    payload = SnapshotTable(os.path.join(workdir, "payload")).read(spark)
+    if payload is None:
+        return None
+    idx = IncrementalLSHIndex(spark, index_path or os.path.join(workdir, "caption_lsh"))
+    seen_tbl = SnapshotTable(os.path.join(workdir, "caption_lsh_seen"))
+    pairs_tbl = SnapshotTable(os.path.join(workdir, "near_dup_pairs"))
+
+    docs = payload.select(
+        F.col("image_id").alias("doc_id"), F.col("caption").alias("text"), "phash"
+    ).filter(F.col("text").isNotNull())
+    prev = seen_tbl.read(spark)
+    if prev is not None:
+        docs = docs.join(prev.hint("shuffle_hash"), "doc_id", "left_anti")
+    docs = docs.persist()
+
+    cap_pairs = idx.add(docs).withColumn("via", F.lit("caption_minhash"))
+    hash_rows = docs.select("doc_id", "phash")
+    all_hashes = (
+        hash_rows
+        if prev is None
+        else prev.select("doc_id", "phash").unionByName(hash_rows)
+    )
+    ph_pairs = (
+        hamming_near_dup_pairs(
+            all_hashes, "doc_id", "phash", 64, max_hamming
+        )
+        .withColumnRenamed("doc_a", "pa")
+        .withColumnRenamed("doc_b", "pb")
+    )
+    # keep only pairs touching the new slice (incremental semantics)
+    new_ids = docs.select(F.col("doc_id").alias("pa"))
+    ph_new = ph_pairs.join(new_ids.hint("shuffle_hash"), "pa", "left_semi").unionByName(
+        ph_pairs.join(
+            new_ids.withColumnRenamed("pa", "pb").hint("shuffle_hash"), "pb", "left_semi"
+        )
+    ).dropDuplicates(["pa", "pb"])
+    ph_new = ph_new.select(
+        F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"), F.lit("phash").alias("via")
+    )
+
+    out = cap_pairs.select("doc_a", "doc_b", "via").unionByName(ph_new).persist()
+    n = out.count()
+    if n:
+        pairs_tbl.append(out, metrics={"pairs": n})
+    seen_tbl.append(docs.select("doc_id", "phash"), metrics={"docs": docs.count()})
+    docs.unpersist()
+    return out
+
+
 def extract_from_frontier(
     spark: SparkSession,
     workdir: str,

@@ -103,6 +103,14 @@ def main() -> None:
         "download_filings.py:139-158)",
     )
     ap.add_argument(
+        "--caption-dedup",
+        action="store_true",
+        help="after the crawl drains, run the incremental near-dup pass "
+        "over this workdir's payload (caption MinHash-LSH + phash "
+        "banded-Hamming); pairs append to the near_dup_pairs table and "
+        "only payload rows new since the last pass are signed",
+    )
+    ap.add_argument(
         "--synth-rows-per-quarter",
         type=int,
         default=400,
@@ -354,6 +362,14 @@ def main() -> None:
             )
             write_raw_filing_files(rows, args.raw_filings_dir)
             report["raw_filings_dir"] = args.raw_filings_dir
+
+    if args.caption_dedup:
+        from edgar_crawler_spark.plans.pipeline import caption_near_dups_from_frontier
+
+        pairs = caption_near_dups_from_frontier(spark, args.workdir)
+        report["near_dup_pairs"] = 0 if pairs is None else pairs.count()
+        if runlog:
+            runlog.info("near-dup pass: %d pairs", report["near_dup_pairs"])
 
     print(json.dumps({"admitted": admitted, "waves": waves, **report}))
 
