@@ -316,31 +316,9 @@ def simhash_band_bounds(bits: int, bands: int) -> list[tuple[int, int, int]]:
     return bounds
 
 
-def hamming_near_dup_pairs(
-    df: DataFrame,
-    id_col: str,
-    hash_col: str,
-    bits: int,
-    max_hamming: int = 6,
-    bands: int | None = None,
-) -> DataFrame:
-    """Near-duplicate pairs by Hamming distance over ANY integer sketch
-    column (SimHash over text, perceptual aHash over images, …) via
-    banded candidate generation: split the sketch into ``bands``
-    contiguous bit slices (default ``max_hamming + 1``). By pigeonhole,
-    any pair within Hamming ≤ max_hamming differs in at most
-    max_hamming bands, so it MUST agree exactly on at least one band —
-    candidate recall is guaranteed, not heuristic. Candidates are pairs
-    agreeing on ANY band (key-equality join, no cross join), verified
-    by exact bit_count(xor). Returns (id_a, id_b, hamming) named after
-    ``id_col``: (doc_a, doc_b, hamming) when id_col='doc_id'."""
-    if bands is None:
-        bands = max_hamming + 1
-    prefix = id_col.split("_")[0] if id_col.endswith("_id") else id_col
-    out_a, out_b = f"{prefix}_a", f"{prefix}_b"
-    bounds = simhash_band_bounds(bits, bands)
+def _hamming_banded(df: DataFrame, id_col: str, hash_col: str, bounds) -> DataFrame:
     sk = F.col(hash_col)
-    banded = df.select(
+    return df.select(
         F.col(id_col).alias("__id"),
         sk.alias("__sk"),
         F.explode(
@@ -357,14 +335,56 @@ def hamming_near_dup_pairs(
             )
         ).alias("b"),
     ).select("__id", "__sk", F.col("b.j").alias("j"), F.col("b.byteval").alias("byteval"))
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int = 6,
+    bands: int | None = None,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over ANY integer sketch
+    column (SimHash over text, perceptual aHash over images, …) via
+    banded candidate generation: split the sketch into ``bands``
+    contiguous bit slices (default ``max_hamming + 1``). By pigeonhole,
+    any pair within Hamming ≤ max_hamming differs in at most
+    max_hamming bands, so it MUST agree exactly on at least one band —
+    candidate recall is guaranteed, not heuristic. Candidates are pairs
+    agreeing on ANY band (key-equality join, no cross join), verified
+    by exact bit_count(xor). Returns (id_a, id_b, hamming) named after
+    ``id_col``: (doc_a, doc_b, hamming) when id_col='doc_id'.
+
+    ``corpus`` switches to the incremental shape: pairs of ``df``
+    (the new slice) against ``df ∪ corpus``, WITHOUT ever forming
+    corpus×corpus candidates — at 10^10 ingested rows the candidate
+    join is new×all, not all×all. Ids must be disjoint from the
+    corpus; corpus-internal pairs are by definition already known."""
+    if bands is None:
+        bands = max_hamming + 1
+    prefix = id_col.split("_")[0] if id_col.endswith("_id") else id_col
+    out_a, out_b = f"{prefix}_a", f"{prefix}_b"
+    bounds = simhash_band_bounds(bits, bands)
+    banded = _hamming_banded(df, id_col, hash_col, bounds)
     a = banded.alias("a")
-    b = banded.alias("b")
+    if corpus is None:
+        b = banded.alias("b")
+        pair_filter = F.col("a.__id") < F.col("b.__id")
+    else:
+        b = banded.unionByName(
+            _hamming_banded(corpus, id_col, hash_col, bounds)
+        ).alias("b")
+        # asymmetric sides: a (old, new) pair can arrive in either id
+        # order, so order explicitly and let the final distinct dedup
+        pair_filter = F.col("a.__id") != F.col("b.__id")
     return (
         a.join(b, on=["j", "byteval"])
-        .filter(F.col("a.__id") < F.col("b.__id"))
+        .filter(pair_filter)
         .select(
-            F.col("a.__id").alias(out_a),
-            F.col("b.__id").alias(out_b),
+            F.least(F.col("a.__id"), F.col("b.__id")).alias(out_a),
+            F.greatest(F.col("a.__id"), F.col("b.__id")).alias(out_b),
             F.bit_count(F.col("a.__sk").bitwiseXOR(F.col("b.__sk"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -134,29 +134,16 @@ def caption_near_dups_from_frontier(
     docs = docs.persist()
 
     cap_pairs = idx.add(docs).withColumn("via", F.lit("caption_minhash"))
-    hash_rows = docs.select("doc_id", "phash")
-    all_hashes = (
-        hash_rows
-        if prev is None
-        else prev.select("doc_id", "phash").unionByName(hash_rows)
-    )
-    ph_pairs = (
-        hamming_near_dup_pairs(
-            all_hashes, "doc_id", "phash", 64, max_hamming
-        )
-        .withColumnRenamed("doc_a", "pa")
-        .withColumnRenamed("doc_b", "pb")
-    )
-    # keep only pairs touching the new slice (incremental semantics)
-    new_ids = docs.select(F.col("doc_id").alias("pa"))
-    ph_new = ph_pairs.join(new_ids.hint("shuffle_hash"), "pa", "left_semi").unionByName(
-        ph_pairs.join(
-            new_ids.withColumnRenamed("pa", "pb").hint("shuffle_hash"), "pb", "left_semi"
-        )
-    ).dropDuplicates(["pa", "pb"])
-    ph_new = ph_new.select(
-        F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"), F.lit("phash").alias("via")
-    )
+    # incremental Hamming: candidates are new×(new∪corpus), never
+    # corpus×corpus — the join shape that survives 10^10 ingested rows
+    ph_new = hamming_near_dup_pairs(
+        docs.select("doc_id", "phash"),
+        "doc_id",
+        "phash",
+        64,
+        max_hamming,
+        corpus=None if prev is None else prev.select("doc_id", "phash"),
+    ).select("doc_a", "doc_b", F.lit("phash").alias("via"))
 
     out = cap_pairs.select("doc_a", "doc_b", "via").unionByName(ph_new).persist()
     n = out.count()

@@ -56,3 +56,26 @@ def test_bucket_cap_stops_emission_monotonically(spark, tmp_path):
     assert p1.count() == 8 * 7 // 2
     p2 = idx.add(b2)
     assert p2.count() == 0
+
+
+def test_hamming_incremental_corpus_shape(spark):
+    """hamming_near_dup_pairs(corpus=...) returns exactly the batch
+    result restricted to pairs touching the new slice."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.operators.dedup import hamming_near_dup_pairs
+
+    rows = [(i, (i // 3) * 1024 + (i % 3)) for i in range(60)]  # trios of near hashes
+    full = spark.createDataFrame(rows, "doc_id long, h long")
+    old, new = full.filter(F.col("doc_id") < 40), full.filter(F.col("doc_id") >= 40)
+
+    batch = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_near_dup_pairs(full, "doc_id", "h", 64, 6).collect()
+    }
+    expected = {(a, b, hm) for a, b, hm in batch if a >= 40 or b >= 40}
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_near_dup_pairs(new, "doc_id", "h", 64, 6, corpus=old).collect()
+    }
+    assert got == expected and got  # non-empty: cross-slice trios exist
