@@ -833,6 +833,43 @@ def q_pipeline_prep_corpus(spark, sf):
     )
 
 
+def q_pipeline_prep_corpus_v2(spark, sf):
+    """The round-3 corpus-prep flagship: repetition gate (Gopher
+    dup-2-gram ratio) + benchmark decontamination (3-gram overlap vs
+    the doc_id%17 benchmark slice) → LSH near-dup candidates →
+    connected components → BEST-QUALITY representative per cluster →
+    deterministic per-source stratified sample. Every stage is an
+    oracle-checked operator from this catalog, composed lazily so
+    Catalyst fuses the gate semi-joins into the scan side."""
+    from edgar_crawler_spark.operators.sampling import stratified_topk
+
+    docs = t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    rep_ok = (
+        text.dup_ngram_stats(corpus, n=2)
+        .filter(F.col("dup_gram_ratio") <= 0.08)
+        .select("doc_id")
+    )
+    cont_ok = (
+        text.decontamination_overlap(corpus, bench, n=3, threshold=0.5)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    kept = corpus.join(rep_ok, "doc_id", "left_semi").join(
+        cont_ok, "doc_id", "left_semi"
+    )
+    scores = text.quality_score(kept).select(
+        "doc_id", F.col("quality").alias("score")
+    )
+    reps = dedup.dedup_representatives_by(
+        kept, dedup.minhash_lsh_pairs(kept), scores
+    )
+    return stratified_topk(reps, "source", "doc_id", 10).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 _SQL_QUALITY_EXPR = """
   SELECT doc_id,
          ROUND(
@@ -1195,6 +1232,77 @@ WHERE a.vec_id < b.vec_id
 # --------------------------------------------------------------------------
 # text analysis (documents)
 # --------------------------------------------------------------------------
+
+SQL_PIPELINE_PREP_V2 = f"""
+WITH RECURSIVE
+wtoks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents),
+g2 AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS gram
+       FROM wtoks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+       WHERE len(ts) >= 2),
+per2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+rep2 AS (SELECT doc_id, ROUND(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_ratio
+         FROM per2 GROUP BY doc_id),
+g3 AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS gram
+       FROM wtoks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+       WHERE len(ts) >= 3),
+bench3 AS (SELECT DISTINCT gram FROM g3 WHERE doc_id % 17 = 0),
+tot3 AS (SELECT doc_id, COUNT(*) AS n FROM g3 WHERE doc_id % 17 <> 0 GROUP BY 1),
+ov3 AS (SELECT g3.doc_id, COUNT(*) AS hit FROM g3 JOIN bench3 USING (gram)
+        WHERE g3.doc_id % 17 <> 0 GROUP BY 1),
+cont3 AS (SELECT doc_id, COALESCE(hit, 0) / CAST(n AS DOUBLE) AS cr
+          FROM tot3 LEFT JOIN ov3 USING (doc_id)),
+kept AS (
+  SELECT d.* FROM documents d
+  JOIN rep2 r USING (doc_id)
+  JOIN cont3 c USING (doc_id)
+  WHERE d.doc_id % 17 <> 0 AND r.dup_ratio <= 0.08 AND c.cr < 0.5),
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM kept)
+  WHERE tok <> ''),
+h AS (SELECT doc_id, {h48_sql("tok")} AS h FROM toks),
+sigs AS (
+  SELECT doc_id, seed,
+         MIN(((2 * seed + 3) * h + (7 * seed + 1)) % {(1 << 61) - 1}) AS minhash
+  FROM h CROSS JOIN generate_series(0, 7) AS g(seed)
+  GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, seed // 2),
+capped AS (
+  SELECT * FROM banded
+  WHERE (band, band_key) IN (
+    SELECT (band, band_key) FROM banded GROUP BY band, band_key HAVING COUNT(*) <= 64)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+comps AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+quality AS ({_SQL_QUALITY_EXPR}),
+ranked AS (
+  SELECT c.node, ROW_NUMBER() OVER (
+           PARTITION BY c.component ORDER BY q.quality DESC, c.node ASC) AS rq
+  FROM comps c JOIN quality q ON q.doc_id = c.node),
+reps AS (
+  SELECT k.* FROM kept k
+  WHERE k.doc_id NOT IN (SELECT node FROM ranked WHERE rq > 1))
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY {h48_sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn
+  FROM reps)
+WHERE rn <= 10
+"""
+
 
 def q_text_token_count(spark, sf):
     return text.token_count(t(spark, sf, "documents"))
@@ -1562,6 +1670,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_keep_representatives": (q_dedup_representatives, SQL_DEDUP_REPRESENTATIVES),
     "dedup_best_representatives": (q_dedup_best_representatives, SQL_DEDUP_BEST_REPRESENTATIVES),
     "pipeline_prep_corpus": (q_pipeline_prep_corpus, SQL_PIPELINE_PREP),
+    "pipeline_prep_corpus_v2": (q_pipeline_prep_corpus_v2, SQL_PIPELINE_PREP_V2),
     "sample_hash_bucket": (q_sample_hash_bucket, SQL_SAMPLE_HASH_BUCKET),
     "sample_stratified_topk": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "ann_bruteforce_topk": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
