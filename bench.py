@@ -143,9 +143,73 @@ def bench_extraction(spark) -> dict:
     }
 
 
+def bench_caption_dedup(spark, n: int, batches: int = 2) -> dict:
+    """Incremental caption+phash near-dup pass throughput (rows/s):
+    synthesize a payload snapshot of n rows with engineered duplicate
+    clusters, ingest in ``batches`` slices through
+    caption_near_dups_from_frontier (caption MinHash-LSH index +
+    incremental Hamming), report rows/s over the whole run."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+    from edgar_crawler_spark.plans.pipeline import caption_near_dups_from_frontier
+
+    wd = tempfile.mkdtemp(prefix="bench_capdedup_")
+    try:
+        per = n // batches
+        wall = 0.0
+        pairs = 0
+        for b in range(batches):
+            # mostly-unique captions/hashes; every 20th row joins a
+            # 5-member duplicate cluster (realistic dup density — the
+            # bench must measure the pass, not pair-output volume)
+            base = F.when(
+                F.col("id") % 20 == 0, (F.col("id") / 100).cast("long") * 100
+            ).otherwise(F.col("id"))
+            rows = spark.range(b * per, (b + 1) * per).select(
+                F.concat(F.lit("img"), F.col("id").cast("string")).alias("image_id"),
+                F.concat(
+                    F.lit("photo of scene "),
+                    base.cast("string"),
+                    F.lit(" at location "),
+                    (base % 997).cast("string"),
+                    F.lit(" camera "),
+                    (base % 31).cast("string"),
+                ).alias("caption"),
+                (base * F.lit(2654435761)).alias("phash"),
+            )
+            SnapshotTable(os.path.join(wd, "payload")).append(rows)
+            t0 = time.time()
+            out = caption_near_dups_from_frontier(spark, wd)
+            pairs += out.count() if out is not None else 0
+            wall += time.time() - t0
+        return {
+            "n_rows": per * batches,
+            "batches": batches,
+            "pairs": pairs,
+            "wall_s": round(wall, 3),
+            "rows_per_s": round(per * batches / wall, 1) if wall > 0 else 0.0,
+        }
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if len(sys.argv) > 1 and sys.argv[1] == "caption-dedup":
+        n = int(os.environ.get("SPARK_GRAFT_CAPTION_ROWS", "100000"))
+        spark = get_spark(
+            app_name="edgar-crawler-spark-capdedup-bench",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(cpus, 8),
+        )
+        bench_caption_dedup(spark, 2000)  # warmup
+        out = bench_caption_dedup(spark, n)
+        out.update({"metric": "caption_dedup_throughput", "unit": "rows_per_s", "cpus": cpus})
+        print(json.dumps(out))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "fetch-job":
         n = int(os.environ.get("SPARK_GRAFT_FETCH_URLS", "400000"))
         spark = get_spark(
