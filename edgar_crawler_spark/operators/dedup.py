@@ -199,14 +199,23 @@ class IncrementalLSHIndex:
         new_rows = band_rows(docs, self.k, self.bands, tokenizer=self.tokenizer).persist()
         old = self.table.read(self.spark)
         all_rows = new_rows if old is None else old.unionByName(new_rows)
+        # only buckets TOUCHED by the batch can produce pairs, so the
+        # corpus is pre-filtered to the batch's bucket keys BEFORE any
+        # aggregate or join — per-batch shuffle is proportional to rows
+        # in touched buckets, never to the 10^10-row corpus (which is
+        # only ever scanned). No forced broadcast: a daily slice AQE
+        # broadcasts on its own; a bulk backfill must not OOM the
+        # driver (the inverse of the r02 mis-broadcast class).
+        new_buckets = new_rows.select("band", "band_key").dropDuplicates()
+        relevant = all_rows.join(new_buckets, ["band", "band_key"], "left_semi")
         ok_buckets = (
-            all_rows.groupBy("band", "band_key")
+            relevant.groupBy("band", "band_key")
             .agg(F.count("*").alias("__sz"))
             .filter(F.col("__sz") <= self.bucket_cap)
             .drop("__sz")
         )
         a = new_rows.join(ok_buckets, ["band", "band_key"], "left_semi").alias("a")
-        b = all_rows.join(ok_buckets, ["band", "band_key"], "left_semi").alias("b")
+        b = relevant.join(ok_buckets, ["band", "band_key"], "left_semi").alias("b")
         pairs = (
             a.join(b, on=["band", "band_key"])
             .filter(F.col("a.doc_id") != F.col("b.doc_id"))
