@@ -78,3 +78,49 @@ def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataF
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("hour_start"), "event_type", "n")
     )
+
+
+def run_streaming_near_dup(
+    spark: SparkSession,
+    docs_dir: str,
+    docs_schema: StructType,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    **index_kwargs,
+):
+    """Streaming corpus ingestion with incremental near-dup detection:
+    document files arrive → each micro-batch is MinHash-signed and
+    joined against the persisted LSH band index
+    (operators.dedup.IncrementalLSHIndex) → candidate pairs append to
+    a snapshot table.
+
+    ``Trigger.AvailableNow`` + source checkpoint gives exactly-once
+    batch delivery; per-batch shuffle is bounded by the buckets the
+    batch touches (never the ingested corpus). This is the streaming
+    twin of the batch `minhash_lsh_pairs` catalog operator — the same
+    band machinery, fed by micro-batches instead of one table. Returns
+    (index, total_pairs_emitted)."""
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+    from edgar_crawler_spark.operators.dedup import IncrementalLSHIndex
+
+    idx = IncrementalLSHIndex(spark, index_path, **index_kwargs)
+    pairs_tbl = SnapshotTable(pairs_path)
+    emitted = {"pairs": 0}
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        pairs = idx.add(batch)
+        n = pairs.count()
+        if n:
+            pairs_tbl.append(pairs, metrics={"pairs": n, "batch_id": batch_id})
+        emitted["pairs"] += n
+
+    stream = spark.readStream.schema(docs_schema).parquet(docs_dir)
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return idx, emitted["pairs"]

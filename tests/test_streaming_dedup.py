@@ -33,3 +33,64 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     got = spark.sql("select * from dedup_urls").toPandas()
     assert len(got) == 100  # 200 arrivals → 100 unique
     assert got.url_hash.nunique() == 100
+
+
+def test_streaming_near_dup_matches_batch(spark, tmp_path):
+    """Streaming ingestion (availableNow over doc files → persisted
+    LSH index) emits exactly the batch operator's pairs, split across
+    micro-batches; a later drop-in of new files only pays for the new
+    slice and finds the cross-batch duplicates."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.operators.dedup import minhash_lsh_pairs
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+    from edgar_crawler_spark.streaming.stream_frontier import run_streaming_near_dup
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha beta gamma delta "),
+                (F.col("id") % 13).cast("string"),
+                F.lit(" epsilon "),
+                (F.col("id") % 4).cast("string"),
+            ).alias("text"),
+        )
+
+    src = str(tmp_path / "docs")
+    docs(0, 50).coalesce(1).write.mode("overwrite").parquet(src)
+    docs(50, 100).coalesce(1).write.mode("append").parquet(src)
+
+    kw = dict(
+        index_path=str(tmp_path / "idx"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        bucket_cap=10**6,
+    )
+    _, n1 = run_streaming_near_dup(
+        spark, src, "doc_id long, text string", **kw
+    )
+    assert n1 > 0
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs(0, 100), bucket_cap=10**6).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in SnapshotTable(str(tmp_path / "pairs")).read(spark).collect()
+    }
+    assert got == expected
+
+    # new files later: only the new slice is signed; cross-slice dups found
+    docs(100, 120).coalesce(1).write.mode("append").parquet(src)
+    _, n2 = run_streaming_near_dup(spark, src, "doc_id long, text string", **kw)
+    assert n2 > 0
+    got2 = {
+        (r.doc_a, r.doc_b)
+        for r in SnapshotTable(str(tmp_path / "pairs")).read(spark).collect()
+    }
+    expected2 = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs(0, 120), bucket_cap=10**6).collect()
+    }
+    assert got2 == expected2
