@@ -79,6 +79,11 @@ class SnapshotTable:
         return version
 
     # ---- public API --------------------------------------------------------
+    def latest_metrics(self) -> dict:
+        """The metrics dict of the newest commit ({} before the first
+        one) — lets writers stamp and re-read idempotence tokens."""
+        return self._manifest(self.current_version()).get("metrics", {})
+
     def append(self, df: DataFrame, metrics: dict | None = None, lineage: dict | None = None) -> int:
         return self._write(df, "append", metrics, lineage)
 

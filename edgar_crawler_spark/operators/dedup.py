@@ -198,7 +198,6 @@ class IncrementalLSHIndex:
         recompute through it)."""
         new_rows = band_rows(docs, self.k, self.bands, tokenizer=self.tokenizer).persist()
         old = self.table.read(self.spark)
-        all_rows = new_rows if old is None else old.unionByName(new_rows)
         # only buckets TOUCHED by the batch can produce pairs, so the
         # corpus is pre-filtered to the batch's bucket keys BEFORE any
         # aggregate or join — per-batch shuffle is proportional to rows
@@ -206,8 +205,28 @@ class IncrementalLSHIndex:
         # only ever scanned). No forced broadcast: a daily slice AQE
         # broadcasts on its own; a bulk backfill must not OOM the
         # driver (the inverse of the r02 mis-broadcast class).
+        # Band rows are a pure function of the doc, so rows re-appended
+        # by a crash-replayed batch are EXACT duplicates: deduping the
+        # touched slice of the DISK-BACKED side (the only place replays
+        # can land; the fresh batch is unique by construction) restores
+        # the no-crash state without any index rollback machinery.
         new_buckets = new_rows.select("band", "band_key").dropDuplicates()
-        relevant = all_rows.join(new_buckets, ["band", "band_key"], "left_semi")
+        if old is None:
+            relevant = new_rows
+        else:
+            touched_old = (
+                old.join(new_buckets, ["band", "band_key"], "left_semi")
+                .dropDuplicates(["doc_id", "band", "band_key"])
+                # a crash-replayed doc is in BOTH the table and this
+                # batch: its fresh rows win, the stale copies drop
+                # (keeps bucket sizes honest under the cap)
+                .join(
+                    new_rows.select("doc_id").dropDuplicates(),
+                    "doc_id",
+                    "left_anti",
+                )
+            )
+            relevant = new_rows.unionByName(touched_old)
         ok_buckets = (
             relevant.groupBy("band", "band_key")
             .agg(F.count("*").alias("__sz"))

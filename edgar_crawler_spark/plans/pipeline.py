@@ -147,9 +147,19 @@ def caption_near_dups_from_frontier(
 
     out = cap_pairs.select("doc_a", "doc_b", "via").unionByName(ph_new).persist()
     n = out.count()
-    if n:
-        pairs_tbl.append(out, metrics={"pairs": n})
-    seen_tbl.append(docs.select("doc_id", "phash"), metrics={"docs": docs.count()})
+    # crash-window discipline (commit order: index → pairs → seen):
+    # the pairs commit is stamped with a token deterministic in the
+    # processed slice, so a resume that re-derives the SAME slice
+    # (crash before the seen append) skips the duplicate pairs commit
+    # and just completes the seen append; replayed index appends are
+    # neutralized inside IncrementalLSHIndex.add.
+    agg = docs.agg(
+        F.count("*").alias("c"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    token = f"{agg['c']}:{agg['lo']}:{agg['hi']}"
+    if n and pairs_tbl.latest_metrics().get("token") != token:
+        pairs_tbl.append(out, metrics={"pairs": n, "token": token})
+    seen_tbl.append(docs.select("doc_id", "phash"), metrics={"docs": int(agg["c"])})
     docs.unpersist()
     return out
 

@@ -109,10 +109,18 @@ def run_streaming_near_dup(
     emitted = {"pairs": 0}
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash after the pairs commit
+        # but before the source checkpoint replays the batch. The pairs
+        # manifest carries the last committed batch_id, so a replayed
+        # batch is skipped (exactly-once pairs); a replay that crashed
+        # BEFORE the pairs commit re-runs add(), whose index re-append
+        # is neutralized by the touched-bucket dedup inside add().
+        last = pairs_tbl.latest_metrics().get("batch_id", -1)
+        if batch_id <= last:
+            return
         pairs = idx.add(batch)
         n = pairs.count()
-        if n:
-            pairs_tbl.append(pairs, metrics={"pairs": n, "batch_id": batch_id})
+        pairs_tbl.append(pairs, metrics={"pairs": n, "batch_id": batch_id})
         emitted["pairs"] += n
 
     stream = spark.readStream.schema(docs_schema).parquet(docs_dir)

@@ -90,3 +90,97 @@ def test_caption_dedup_cli_smoke(spark, tmp_path):
     assert out.returncode == 0, out.stderr[-3000:]
     rep = json.loads(out.stdout.strip().splitlines()[-1])
     assert "near_dup_pairs" in rep and rep["near_dup_pairs"] >= 0
+
+
+def test_crash_between_pairs_and_seen_commits(spark, tmp_path, monkeypatch):
+    """Kill the pass after the near_dup_pairs commit but before the
+    seen append; the resume must complete WITHOUT duplicating pairs
+    (token-guarded commit) and leave the same final state as an
+    uncrashed run."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+
+    wd = str(tmp_path / "wd")
+    payload = spark.range(40).select(
+        F.concat(F.lit("img"), F.col("id").cast("string")).alias("image_id"),
+        F.concat(F.lit("caption body "), (F.col("id") % 8).cast("string")).alias("caption"),
+        ((F.col("id") % 8) * 4096).alias("phash"),
+    )
+    SnapshotTable(wd + "/payload").append(payload)
+
+    real_append = SnapshotTable.append
+
+    def crashing_append(self, df, metrics=None, lineage=None):
+        v = real_append(self, df, metrics, lineage)
+        if self.root.endswith("near_dup_pairs"):
+            raise RuntimeError("crash after pairs commit")
+        return v
+
+    monkeypatch.setattr(SnapshotTable, "append", crashing_append)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="crash after pairs commit"):
+        caption_near_dups_from_frontier(spark, wd)
+    monkeypatch.setattr(SnapshotTable, "append", real_append)
+
+    # resume: same slice re-derived (seen never committed)
+    caption_near_dups_from_frontier(spark, wd)
+
+    pairs = SnapshotTable(wd + "/near_dup_pairs").read(spark)
+    assert pairs.count() == pairs.dropDuplicates(["doc_a", "doc_b", "via"]).count()
+    seen = SnapshotTable(wd + "/caption_lsh_seen").read(spark)
+    assert seen.count() == 40
+
+    # third run: nothing new, nothing emitted
+    out = caption_near_dups_from_frontier(spark, wd)
+    assert out.count() == 0
+
+
+def test_crash_between_index_and_pairs_commits(spark, tmp_path, monkeypatch):
+    """Crash right after the LSH index append (before pairs/seen): the
+    resume re-signs the slice; stale index rows are superseded, and
+    the final pairs equal an uncrashed run's."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+
+    def mk_payload(wd):
+        payload = spark.range(30).select(
+            F.concat(F.lit("img"), F.col("id").cast("string")).alias("image_id"),
+            F.concat(F.lit("caption text "), (F.col("id") % 6).cast("string")).alias("caption"),
+            ((F.col("id") % 6) * 4096).alias("phash"),
+        )
+        SnapshotTable(wd + "/payload").append(payload)
+
+    wd = str(tmp_path / "crashed")
+    ref = str(tmp_path / "clean")
+    mk_payload(wd)
+    mk_payload(ref)
+
+    real_append = SnapshotTable.append
+
+    def crashing_append(self, df, metrics=None, lineage=None):
+        v = real_append(self, df, metrics, lineage)
+        if self.root.endswith("caption_lsh"):
+            raise RuntimeError("crash after index commit")
+        return v
+
+    monkeypatch.setattr(SnapshotTable, "append", crashing_append)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="crash after index commit"):
+        caption_near_dups_from_frontier(spark, wd)
+    monkeypatch.setattr(SnapshotTable, "append", real_append)
+
+    caption_near_dups_from_frontier(spark, wd)  # resume
+    expected = {
+        (r.doc_a, r.doc_b, r.via)
+        for r in caption_near_dups_from_frontier(spark, ref).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.via)
+        for r in SnapshotTable(wd + "/near_dup_pairs").read(spark).collect()
+    }
+    assert got == expected
+    assert SnapshotTable(wd + "/caption_lsh_seen").read(spark).count() == 30
