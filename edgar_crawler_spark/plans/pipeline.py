@@ -172,6 +172,7 @@ def extract_from_frontier(
     include_signature: bool = False,
     filing_types: list[str] | None = None,
     skip_extracted: bool = True,
+    drop_near_dups: bool = False,
 ) -> int:
     """Stage 2 over the ENGINE's own state tables — the Spark-first
     chaining (the folder-of-files path exists for reference interchange;
@@ -226,10 +227,32 @@ def extract_from_frontier(
         ).alias("image_id"),
         *[F.col(low).alias(ref) for low, ref in renames.items()],
     )
+    if drop_near_dups:
+        # extract only near-dup cluster REPRESENTATIVES: pairs from the
+        # --caption-dedup pass → components → drop non-minimum members
+        # (pruned from the slim work-list, which also gates the decode
+        # below — duplicate bytes never reach the Python workers)
+        from edgar_crawler_spark.operators.dedup import connected_components
+
+        pairs = SnapshotTable(os.path.join(workdir, "near_dup_pairs")).read(spark)
+        if pairs is not None:
+            comps = connected_components(
+                pairs.select("doc_a", "doc_b").dropDuplicates()
+            )
+            losers = comps.filter(F.col("node") != F.col("component")).select(
+                F.col("node").alias("image_id")
+            )
+            slim = slim.join(losers.hint("shuffle_hash"), "image_id", "left_anti")
+
     # Arrow-boundary discipline (repo pattern): only (image_id, bytes)
     # crosses into Python; the decoded content joins back to the
-    # JVM-side metadata — bytes never round-trip a second time
-    decoded = decode_content(payload.select("image_id", "bytes")).drop("bytes")
+    # JVM-side metadata — bytes never round-trip a second time. The
+    # payload is pruned to the surviving work-list FIRST, so bytes of
+    # skipped/filtered/deduped docs never reach the Python workers.
+    todo = payload.select("image_id", "bytes").join(
+        slim.select("image_id").dropDuplicates(), "image_id", "left_semi"
+    )
+    decoded = decode_content(todo).drop("bytes")
     work = decoded.join(F.broadcast(slim), "image_id")
 
     records = extract_records(

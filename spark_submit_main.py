@@ -111,6 +111,13 @@ def main() -> None:
         "only payload rows new since the last pass are signed",
     )
     ap.add_argument(
+        "--drop-near-dups",
+        action="store_true",
+        help="table-native extract only: skip near-dup cluster members "
+        "(keep each cluster's representative) using the workdir's "
+        "near_dup_pairs table from a prior --caption-dedup pass",
+    )
+    ap.add_argument(
         "--synth-rows-per-quarter",
         type=int,
         default=400,
@@ -410,6 +417,7 @@ def run_extract_stage(spark, args, ex_cfg, runlog=None) -> None:
             include_signature=ex_cfg["include_signature"],
             filing_types=ex_cfg.get("filing_types") or None,
             skip_extracted=ex_cfg["skip_extracted_filings"],
+            drop_near_dups=args.drop_near_dups,
         )
         if runlog:
             runlog.info("table-native extraction appended %d item rows", n)

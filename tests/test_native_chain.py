@@ -37,3 +37,39 @@ def test_engine_native_two_stage(spark, tmp_path):
     # J5: re-run extracts nothing new
     assert extract_from_frontier(spark, wd) == 0
     assert SnapshotTable(wd + "/extracted").read(spark).count() == tbl.count()
+
+
+def test_extract_drop_near_dups(spark, tmp_path):
+    """crawl (duplicate contents) → --caption-dedup pass →
+    extract_from_frontier(drop_near_dups=True) extracts ONE filing per
+    near-dup cluster, and the skipped members never re-extract."""
+    from edgar_crawler_spark.plans.pipeline import caption_near_dups_from_frontier
+
+    def filing_fetcher(url: str, attempt: int):
+        import re
+
+        from edgar_crawler_spark.fixtures.raw_documents import make_10k
+
+        i = int(re.search(r"-(\d{6})-index\.html$", url).group(1))
+        # 12 docs, 4 contents; captions identical within a cluster and
+        # token-disjoint across clusters (LSH candidates are high-recall
+        # by design — similar-but-distinct captions would chain)
+        cap = " ".join(f"w{(i % 4) * 10 + j}" for j in range(6))
+        return 200, make_10k(i % 4).encode(), cap
+
+    wd = str(tmp_path / "w")
+    fr = CrawlFrontier(spark, wd, fetcher=filing_fetcher)
+    fr.submit(seed_index_df(spark, 12, n_hosts=2, hot_host=False))
+    fr.run()
+    caption_near_dups_from_frontier(spark, wd)
+
+    n = extract_from_frontier(spark, wd, drop_near_dups=True)
+    assert n > 0
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+
+    tbl = SnapshotTable(wd + "/extracted").read(spark)
+    assert tbl.select("filename").distinct().count() == 4  # one per cluster
+
+    # the skipped duplicates are NOT picked up by a later plain run
+    # within this dedup policy; a second dedup run extracts nothing new
+    assert extract_from_frontier(spark, wd, drop_near_dups=True) == 0
