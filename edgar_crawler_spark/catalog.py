@@ -628,14 +628,21 @@ def q_dedup_minhash_sig(spark, sf):
     )
 
 
-# Carter-Wegman permutations of the base hash (operators/dedup.py):
-# perm_i(h) = ((2i+3)·h + 7i+1) mod (2^61 - 1)
-_MINHASH_P = (1 << 61) - 1
+# Per-seed permutations of the base hash (operators/dedup.py
+# minhash_coeffs/_perm_col): an order-destroying bit rotation before
+# the affine map — perm_i(h) = (rot48(h, (11i+7)%48)·(2i+3) + 7i+1)
+# mod 2^48. A plain affine map never wraps for h < 2^48, which would
+# make every seed pick the same argmin token (degenerate signature).
+_SQL_PERM = (
+    "((((h & ((1::BIGINT << (48 - ((11*seed+7)%48))) - 1)) << ((11*seed+7)%48))"
+    " | (h >> (48 - ((11*seed+7)%48)))) * (2*seed+3) + (7*seed+1))"
+    " & ((1::BIGINT << 48) - 1)"
+)
 _SQL_MINHASH_SIGS = f"""
 h AS (SELECT doc_id, {h48_sql("tok")} AS h FROM toks),
 sigs AS (
   SELECT doc_id, seed,
-         MIN(((2 * seed + 3) * h + (7 * seed + 1)) % {_MINHASH_P}) AS minhash
+         MIN({_SQL_PERM}) AS minhash
   FROM h CROSS JOIN generate_series(0, 7) AS g(seed)
   GROUP BY doc_id, seed)
 """
@@ -665,6 +672,37 @@ capped AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_verified_pairs(spark, sf):
+    """LSH candidates verified by the signature-estimated Jaccard
+    (agreeing-seed fraction) — the production propose/dispose pair."""
+    return dedup.minhash_verified_pairs(t(spark, sf, "documents"), min_sim=0.5)
+
+
+SQL_DEDUP_VERIFIED = f"""
+WITH {_SQL_TOKS},
+{_SQL_MINHASH_SIGS},
+banded AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, seed // 2),
+capped AS (
+  SELECT * FROM banded
+  WHERE (band, band_key) IN (
+    SELECT (band, band_key) FROM banded GROUP BY band, band_key HAVING COUNT(*) <= 64)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       ROUND(AVG(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = cand.doc_a
+JOIN sigs sb ON sb.doc_id = cand.doc_b AND sb.seed = sa.seed
+GROUP BY doc_a, doc_b
+HAVING AVG(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) >= 0.5
 """
 
 
@@ -925,7 +963,7 @@ toks AS (
 h AS (SELECT doc_id, {h48_sql("tok")} AS h FROM toks),
 sigs AS (
   SELECT doc_id, seed,
-         MIN(((2 * seed + 3) * h + (7 * seed + 1)) % {(1 << 61) - 1}) AS minhash
+         MIN({_SQL_PERM}) AS minhash
   FROM h CROSS JOIN generate_series(0, 7) AS g(seed)
   GROUP BY doc_id, seed),
 banded AS (
@@ -1264,7 +1302,7 @@ toks AS (
 h AS (SELECT doc_id, {h48_sql("tok")} AS h FROM toks),
 sigs AS (
   SELECT doc_id, seed,
-         MIN(((2 * seed + 3) * h + (7 * seed + 1)) % {(1 << 61) - 1}) AS minhash
+         MIN({_SQL_PERM}) AS minhash
   FROM h CROSS JOIN generate_series(0, 7) AS g(seed)
   GROUP BY doc_id, seed),
 banded AS (
@@ -1663,6 +1701,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_signatures": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_minhash_lsh_shingle_pairs": (q_dedup_minhash_lsh_shingle, SQL_DEDUP_MINHASH_LSH_SHINGLE),
+    "dedup_lsh_verified_pairs": (q_dedup_verified_pairs, SQL_DEDUP_VERIFIED),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_near_dup_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),

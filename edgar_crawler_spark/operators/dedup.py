@@ -80,14 +80,32 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-# Carter-Wegman permutation family over the base hash: permutation i
-# is (a_i·h + b_i) mod p with p Mersenne-61. h < 2^48 and a_i < 2^13
-# keep the product inside signed-64 — no overflow in either engine.
-MINHASH_P = (1 << 61) - 1
+# Per-seed permutation family over the base hash. A plain affine map
+# (a_i·h + b_i) with the 64-bit-safe coefficient range NEVER wraps its
+# modulus for h < 2^48 — every "permutation" is then monotone in h, so
+# all k seeds pick the SAME argmin token and the signature degenerates
+# to k copies of one permutation (banding collapses to a single
+# Bernoulli(J) trial and the agreeing-seed Jaccard estimator is
+# constant 1 on any banded pair). The fix is an order-DESTROYING
+# per-seed bit rotation before the affine map:
+#     perm_i(h) = (rot48(h, r_i) · a_i + b_i) mod 2^48,
+#     r_i = (11·i + 7) mod 48, a_i = 2·i + 3, b_i = 7·i + 1
+# rot48 keeps everything under 2^48, a_i < 2^13 keeps the product
+# under 2^61 — still inside signed-64 in both engines, but the
+# rotation makes the argmin genuinely seed-dependent.
+MASK48 = (1 << 48) - 1
 
 
-def minhash_coeffs(k: int) -> list[tuple[int, int]]:
-    return [(2 * i + 3, 7 * i + 1) for i in range(k)]
+def minhash_coeffs(k: int) -> list[tuple[int, int, int]]:
+    """(rotation, multiplier, offset) per seed."""
+    return [((11 * i + 7) % 48, 2 * i + 3, 7 * i + 1) for i in range(k)]
+
+
+def _perm_col(h: F.Column, r: int, a: int, b: int) -> F.Column:
+    rot = F.shiftleft(h.bitwiseAND(F.lit((1 << (48 - r)) - 1)), r).bitwiseOR(
+        F.shiftright(h, 48 - r)
+    )
+    return (rot * F.lit(a) + F.lit(b)).bitwiseAND(F.lit(MASK48))
 
 
 def minhash_signatures(
@@ -109,8 +127,8 @@ def minhash_signatures(
     coeffs = minhash_coeffs(k)
     wide = toks.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
-            for i, (a, b) in enumerate(coeffs)
+            F.min(_perm_col(F.col("h"), r, a, b)).alias(f"m{i}")
+            for i, (r, a, b) in enumerate(coeffs)
         ]
     )
     return wide.select(
@@ -588,6 +606,44 @@ def dedup_representatives(
     # stats) and at dedup-heavy corpora it is O(duplicate docs) — the
     # same mis-estimated-broadcast class as the fetch join-back
     return docs.join(losers.hint("shuffle_hash"), on=id_col, how="left_anti")
+
+
+def minhash_verified_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    min_sim: float = 0.5,
+    tokenizer=tokens,
+) -> DataFrame:
+    """Banded-LSH candidates VERIFIED by the signature-estimated
+    Jaccard — the production two-step: the band join proposes, the
+    fraction of agreeing minhash seeds disposes (an unbiased Jaccard
+    estimator), with NO second pass over the token streams. Returns
+    (doc_a, doc_b, est_jaccard) with est_jaccard ≥ ``min_sim``.
+
+    Cost over raw candidates: one join of the k-row-per-doc signature
+    table against the pair list (pairs are the small side after
+    banding) — token data never re-shuffles."""
+    sigs = minhash_signatures(docs, k, tokenizer=tokenizer)
+    pairs = minhash_lsh_pairs(docs, k, bands, bucket_cap, tokenizer=tokenizer)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mh_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.avg((F.col("mh_a") == F.col("mh_b")).cast("double")), 6
+            ).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= min_sim)
+    )
 
 
 def dedup_representatives_by(

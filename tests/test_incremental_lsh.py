@@ -79,3 +79,35 @@ def test_hamming_incremental_corpus_shape(spark):
         for r in hamming_near_dup_pairs(new, "doc_id", "h", 64, 6, corpus=old).collect()
     }
     assert got == expected and got  # non-empty: cross-slice trios exist
+
+
+def test_minhash_verified_pairs_disposes_weak_candidates(spark):
+    """The signature-estimated Jaccard must pass exact duplicates at
+    1.0 and dispose banded-but-dissimilar candidates below min_sim."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_verified_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, shared),                                  # exact dup of 2
+        (2, shared),
+        (3, shared + " iota kappa lam mu nu xi omicron pi rho sigma tau"),
+    ]  # 3 shares 8/19 tokens with 1 -> bands may propose, verify must dispose
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, bucket_cap=10**6).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_verified_pairs(
+            docs, bucket_cap=10**6, min_sim=0.9
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    # any candidate involving doc 3 is disposed at min_sim=0.9
+    assert all(3 not in pair for pair in got)
+    assert set(got) <= cand
