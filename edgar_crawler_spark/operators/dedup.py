@@ -201,6 +201,7 @@ class IncrementalLSHIndex:
         bands: int = LSH_BANDS,
         bucket_cap: int = LSH_BUCKET_CAP,
         tokenizer=tokens,
+        min_sim: float | None = None,
     ):
         from edgar_crawler_spark.frontier.state import SnapshotTable
 
@@ -208,6 +209,7 @@ class IncrementalLSHIndex:
         self.table = SnapshotTable(path)
         self.k, self.bands, self.bucket_cap = k, bands, bucket_cap
         self.tokenizer = tokenizer
+        self.min_sim = min_sim
 
     def add(self, docs: DataFrame) -> DataFrame:
         """Ingest a batch; returns distinct (doc_a, doc_b) candidate
@@ -261,8 +263,46 @@ class IncrementalLSHIndex:
                 F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             )
             .dropDuplicates()
-            .persist()
         )
+        if self.min_sim is not None:
+            # dispose step WITHOUT extra storage: the persisted band
+            # keys ARE the signatures (rows_per_band minhashes each),
+            # so the agreeing-seed Jaccard estimate reconstructs from
+            # the index itself. Only the candidate docs' band rows are
+            # pulled (semi-join by doc id — a broadcast-size list), so
+            # the corpus is scanned, never shuffled.
+            members = (
+                pairs.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+                .dropDuplicates()
+            )
+            all_bands = new_rows if old is None else new_rows.unionByName(
+                old.dropDuplicates(["doc_id", "band", "band_key"]).join(
+                    new_rows.select("doc_id").dropDuplicates(), "doc_id", "left_anti"
+                )
+            )
+            mb = all_bands.join(members, "doc_id", "left_semi")
+            exploded = mb.select(
+                "doc_id", "band", F.posexplode(F.split("band_key", ",")).alias("pos", "mh")
+            )
+            ea = exploded.select(
+                F.col("doc_id").alias("doc_a"), "band", "pos", F.col("mh").alias("mh_a")
+            )
+            eb = exploded.select(
+                F.col("doc_id").alias("doc_b"), "band", "pos", F.col("mh").alias("mh_b")
+            )
+            pairs = (
+                pairs.join(ea, "doc_a")
+                .join(eb, ["doc_b", "band", "pos"])
+                .groupBy("doc_a", "doc_b")
+                .agg(
+                    F.round(
+                        F.avg((F.col("mh_a") == F.col("mh_b")).cast("double")), 6
+                    ).alias("est_jaccard")
+                )
+                .filter(F.col("est_jaccard") >= self.min_sim)
+            )
+        pairs = pairs.persist()
         pairs.count()  # materialize before the state append
         self.table.append(new_rows, metrics={"docs": docs.count()})
         new_rows.unpersist()

@@ -111,3 +111,29 @@ def test_minhash_verified_pairs_disposes_weak_candidates(spark):
     # any candidate involving doc 3 is disposed at min_sim=0.9
     assert all(3 not in pair for pair in got)
     assert set(got) <= cand
+
+
+def test_incremental_verified_equals_batch(spark, tmp_path):
+    """min_sim in the incremental index reproduces the batch
+    propose/dispose operator, with the estimate reconstructed from the
+    persisted band keys (no extra signature storage)."""
+    from edgar_crawler_spark.operators.dedup import (
+        IncrementalLSHIndex,
+        minhash_verified_pairs,
+    )
+
+    full = _docs(spark, 0, 120)
+    expected = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_verified_pairs(full, bucket_cap=10**6, min_sim=0.5).collect()
+    }
+    idx = IncrementalLSHIndex(
+        spark, str(tmp_path / "lsh"), bucket_cap=10**6, min_sim=0.5
+    )
+    got = set()
+    for lo, hi in [(0, 60), (60, 120)]:
+        got |= {
+            (r.doc_a, r.doc_b, r.est_jaccard)
+            for r in idx.add(_docs(spark, lo, hi)).collect()
+        }
+    assert got == expected and got
