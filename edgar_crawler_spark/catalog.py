@@ -1249,6 +1249,45 @@ def _kmeans_sql(iterations: int = 2, n_cells: int = 8, dim: int = 64) -> str:
 SQL_ANN_KMEANS = _kmeans_sql(2)
 
 
+def q_ann_ivf_kmeans(spark, sf):
+    """IVF top-k with the TRAINED quantizer: 2 spherical-k-means
+    rounds refine the seed centroids, then the standard probed search
+    runs against them — the full train-then-serve ANN pipeline."""
+    emb = t(spark, sf, "embeddings")
+    cents, _ = similarity.kmeans_refine(emb, n_cells=8, dim=64, iterations=2)
+    return similarity.ivf_topk(emb, _ANN_QUERY_IDS, k=5, cents=cents)
+
+
+def _ivf_kmeans_sql(iterations: int = 2) -> str:
+    # the k-means CTE chain (same construction as SQL_ANN_KMEANS) up
+    # to the refined centroid table ct{iterations}, then the nprobe=1
+    # probed search of SQL_ANN_IVF over those centroids
+    base = _kmeans_sql(iterations)
+    ctes = base.split("\nSELECT ")[0]  # "WITH ...afinal AS (...)"
+    return f"""{ctes},
+ec AS (SELECT vec_id, v, cell FROM afinal),
+qd AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, c.j AS cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_inner_product(e.v, c.cv) DESC, c.j ASC) AS r
+  FROM e CROSS JOIN ct{iterations} c
+  WHERE e.vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
+q AS (SELECT query_id, qv, cell FROM qd WHERE r <= 1),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_inner_product(qv, c.v) /
+           (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+  FROM q JOIN ec c USING (cell) WHERE query_id != c.vec_id)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, ROUND(cos, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+"""
+
+
+SQL_ANN_IVF_KMEANS = _ivf_kmeans_sql(2)
+
+
 def q_emb_near_dup(spark, sf):
     return similarity.embedding_near_dup_pairs(t(spark, sf, "embeddings"), threshold=0.25)
 
@@ -1717,6 +1756,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_nprobe_topk": (q_ann_ivf_nprobe, SQL_ANN_IVF_NPROBE),
     "ann_kmeans_assign": (q_ann_kmeans_assign, SQL_ANN_KMEANS),
+    "ann_ivf_kmeans_topk": (q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS),
     "emb_near_dup_pairs": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_quality_score": (q_text_quality, SQL_TEXT_QUALITY),
