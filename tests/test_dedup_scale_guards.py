@@ -122,3 +122,25 @@ def test_simhash_recall_exhaustive_small(spark):
         key = tuple(sorted(["base", f"v{i}"]))
         assert key in got, f"pair base~v{i} missed"
         assert got[key] == 6
+
+
+def test_minhash_permutations_not_degenerate(spark):
+    """Anti-regression for the monotone-affine trap: across the sf0.001
+    corpus the agreeing-seed estimates on banded candidates must SPREAD
+    below 1.0 (a degenerate family reports 1.0 on every banded pair),
+    and per-seed argmin tokens must actually differ."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.operators.dedup import minhash_verified_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ests = [
+        r.est_jaccard
+        for r in minhash_verified_pairs(docs, min_sim=0.0).collect()
+    ]
+    assert ests and min(ests) < 0.6 < max(ests)
+    # fractional estimates exist: a monotone family agrees on a pair
+    # either via the one shared global-min token (est snaps high) or
+    # not at all — strictly-intermediate values need seed-dependent
+    # argmins
+    assert any(0.2 < e < 0.8 for e in ests)
