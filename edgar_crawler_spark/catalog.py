@@ -476,6 +476,30 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_percentile_summary(spark, sf):
+    """Exact order statistics per group (no sketch): median and p95
+    via Spark's exact percentile aggregate — linear interpolation,
+    bit-identical to DuckDB's quantile_cont on the same data."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice") * 100).cast("bigint").alias("sum_price_cents"),
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95_price"),
+        F.round(F.percentile("l_discount", 0.5), 4).alias("median_discount"),
+    )
+
+
+SQL_PERCENTILE_SUMMARY = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_price_cents,
+       ROUND(median(l_quantity), 4) AS median_qty,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       ROUND(quantile_cont(l_discount, 0.5), 4) AS median_discount
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def q_tpch_q3_shape(spark, sf):
     """Multi-join + top-k (TPC-H Q3 shape): Catalyst picks join order,
     the dim side broadcasts, top-k is a sort-limit."""
@@ -1726,6 +1750,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tpch_q3_shape": (q_tpch_q3_shape, SQL_TPCH_Q3),
     "rollup_summary": (q_rollup_summary, SQL_ROLLUP),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
+    "percentile_summary": (q_percentile_summary, SQL_PERCENTILE_SUMMARY),
     "tpch_q5_shape": (q_tpch_q5_shape, SQL_TPCH_Q5),
     "t3_collapse_whitespace": (q_t3_collapse_whitespace, SQL_T3),
     "t13_type_dispatch": (q_t13_dispatch, SQL_T13),
