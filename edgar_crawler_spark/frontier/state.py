@@ -105,6 +105,31 @@ class SnapshotTable:
             return None
         return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
 
+    def read_since(self, spark: SparkSession, version: int) -> DataFrame | None:
+        """Incremental consumption: ONLY the rows committed after
+        ``version`` (the Iceberg incremental-scan idea). For an
+        append-only history this is the file-set difference between
+        the manifests — per-pass input is proportional to NEW data,
+        never to the 10^10-row table. Returns None when nothing is
+        new. Raises if a non-append commit (overwrite/compact)
+        intervened — file identity no longer maps to row novelty, and
+        the caller must fall back to a full read + logical diff."""
+        cur = self.current_version()
+        if version >= cur:
+            return None
+        for v in range(version + 1, cur + 1):
+            if self._manifest(v).get("mode") != "append":
+                raise ValueError(
+                    f"non-append commit v{v} ({self._manifest(v).get('mode')}) "
+                    f"inside read_since({version}) window — fall back to a "
+                    "full read"
+                )
+        old_files = set(self._manifest(version)["files"]) if version else set()
+        new_files = [f for f in self._manifest(cur)["files"] if f not in old_files]
+        if not new_files:
+            return None
+        return spark.read.parquet(*[os.path.join(self.root, f) for f in new_files])
+
     def read_or_empty(self, spark: SparkSession, schema: StructType, version: int | None = None) -> DataFrame:
         df = self.read(spark, version)
         return df if df is not None else spark.createDataFrame([], schema)

@@ -118,12 +118,33 @@ def caption_near_dups_from_frontier(
         hamming_near_dup_pairs,
     )
 
-    payload = SnapshotTable(os.path.join(workdir, "payload")).read(spark)
-    if payload is None:
-        return None
+    payload_tbl = SnapshotTable(os.path.join(workdir, "payload"))
     idx = IncrementalLSHIndex(spark, index_path or os.path.join(workdir, "caption_lsh"))
     seen_tbl = SnapshotTable(os.path.join(workdir, "caption_lsh_seen"))
     pairs_tbl = SnapshotTable(os.path.join(workdir, "near_dup_pairs"))
+
+    # incremental consumption: the seen manifest records the payload
+    # version last processed, so the common path reads ONLY the files
+    # appended since (read_since) — per-pass input is the new slice,
+    # not the 10^10-row payload history. Compaction in the window
+    # breaks file-identity → fall back to a full read; either way the
+    # seen anti-join below keeps the result exact (and covers the
+    # crash window where pairs committed but seen did not).
+    cur_v = payload_tbl.current_version()
+    last_v = seen_tbl.latest_metrics().get("payload_version", 0)
+    try:
+        payload = (
+            payload_tbl.read_since(spark, last_v)
+            if last_v
+            else payload_tbl.read(spark)
+        )
+    except ValueError:
+        payload = payload_tbl.read(spark)
+    if payload is None:
+        if cur_v == 0:
+            return None  # no payload table at all
+        # nothing new since the last pass: empty result, same schema
+        return spark.createDataFrame([], "doc_a string, doc_b string, via string")
 
     docs = payload.select(
         F.col("image_id").alias("doc_id"), F.col("caption").alias("text"), "phash"
@@ -159,7 +180,10 @@ def caption_near_dups_from_frontier(
     token = f"{agg['c']}:{agg['lo']}:{agg['hi']}"
     if n and pairs_tbl.latest_metrics().get("token") != token:
         pairs_tbl.append(out, metrics={"pairs": n, "token": token})
-    seen_tbl.append(docs.select("doc_id", "phash"), metrics={"docs": int(agg["c"])})
+    seen_tbl.append(
+        docs.select("doc_id", "phash"),
+        metrics={"docs": int(agg["c"]), "payload_version": cur_v},
+    )
     docs.unpersist()
     return out
 

@@ -184,3 +184,75 @@ def test_crash_between_index_and_pairs_commits(spark, tmp_path, monkeypatch):
     }
     assert got == expected
     assert SnapshotTable(wd + "/caption_lsh_seen").read(spark).count() == 30
+
+
+def test_incremental_pass_reads_only_new_payload_files(spark, tmp_path):
+    """read_since: the second pass's payload input is the appended
+    slice only (file-level cut recorded in the seen manifest)."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+
+    wd = str(tmp_path / "wd")
+    tbl = SnapshotTable(wd + "/payload")
+
+    def slice_df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("img"), F.col("id").cast("string")).alias("image_id"),
+            F.concat(F.lit("cap "), (F.col("id") % 5).cast("string")).alias("caption"),
+            ((F.col("id") % 5) * 512).alias("phash"),
+        )
+
+    tbl.append(slice_df(0, 20))
+    caption_near_dups_from_frontier(spark, wd)
+    v_after_first = tbl.current_version()
+    assert (
+        SnapshotTable(wd + "/caption_lsh_seen").latest_metrics()["payload_version"]
+        == v_after_first
+    )
+
+    tbl.append(slice_df(20, 30))
+    new = tbl.read_since(spark, v_after_first)
+    assert new.count() == 10  # the file-level cut is the new slice only
+    out = caption_near_dups_from_frontier(spark, wd)
+    assert out.count() > 0  # cross-slice duplicates found
+
+    # nothing new: empty frame, not None (payload exists)
+    out3 = caption_near_dups_from_frontier(spark, wd)
+    assert out3.count() == 0
+
+
+def test_compaction_between_passes_falls_back_to_full_read(spark, tmp_path):
+    """Compacting the payload breaks file identity; read_since raises
+    and the pass falls back to a full read, where the seen anti-join
+    keeps results exact (no re-emission, new rows still found)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+
+    wd = str(tmp_path / "wd")
+    tbl = SnapshotTable(wd + "/payload")
+
+    def slice_df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("img"), F.col("id").cast("string")).alias("image_id"),
+            F.concat(F.lit("cap "), (F.col("id") % 4).cast("string")).alias("caption"),
+            ((F.col("id") % 4) * 512).alias("phash"),
+        )
+
+    tbl.append(slice_df(0, 16))
+    p1 = caption_near_dups_from_frontier(spark, wd)
+    n1 = p1.count()
+    v1 = tbl.current_version()
+
+    tbl.compact(spark)  # overwrite-mode commit
+    tbl.append(slice_df(16, 24))
+    with _pytest.raises(ValueError, match="non-append"):
+        tbl.read_since(spark, v1)
+
+    p2 = caption_near_dups_from_frontier(spark, wd)  # fallback path
+    got2 = {(r.doc_a, r.doc_b) for r in p2.collect()}
+    got1 = {(r.doc_a, r.doc_b) for r in p1.collect()}
+    assert got2 and not (got1 & got2)  # new pairs only, no re-emission
+    assert n1 > 0
