@@ -220,7 +220,25 @@ def extract_from_frontier(
     payload_tbl = SnapshotTable(os.path.join(workdir, "payload"))
     extracted_tbl = SnapshotTable(os.path.join(workdir, "extracted"))
     log = log_tbl.read(spark)
-    payload = payload_tbl.read(spark)
+    # incremental consumption of the BYTES side: the extracted
+    # manifest records the payload version last processed, so a re-run
+    # scans only files appended since (read_since) — the slim log/
+    # filename anti-join below stays as the exact gate either way
+    # (and covers compaction fallback + crash replays).
+    payload_v = payload_tbl.current_version()
+    last_v = (
+        extracted_tbl.latest_metrics().get("payload_version", 0)
+        if skip_extracted
+        else 0
+    )
+    try:
+        payload = (
+            payload_tbl.read_since(spark, last_v)
+            if last_v
+            else payload_tbl.read(spark)
+        )
+    except ValueError:
+        payload = payload_tbl.read(spark)
     if log is None or payload is None:
         return 0
 
@@ -288,6 +306,8 @@ def extract_from_frontier(
     long_rows = items_long(records).persist()
     n = long_rows.count()
     if n:
-        extracted_tbl.append(long_rows, metrics={"rows": n})
+        extracted_tbl.append(
+            long_rows, metrics={"rows": n, "payload_version": payload_v}
+        )
     long_rows.unpersist()
     return n

@@ -73,3 +73,38 @@ def test_extract_drop_near_dups(spark, tmp_path):
     # the skipped duplicates are NOT picked up by a later plain run
     # within this dedup policy; a second dedup run extracts nothing new
     assert extract_from_frontier(spark, wd, drop_near_dups=True) == 0
+
+
+def test_extract_incremental_payload_cut(spark, tmp_path):
+    """A second crawl wave followed by a second extraction scans only
+    the NEW payload files (version watermark in the extracted
+    manifest) and extracts exactly the new filings."""
+
+    def filing_fetcher(url: str, attempt: int):
+        import re
+
+        from edgar_crawler_spark.fixtures.raw_documents import make_8k
+
+        i = int(re.search(r"-(\d{6})-index\.html$", url).group(1))
+        return 200, make_8k(i).encode(), None
+
+    wd = str(tmp_path / "w")
+    fr = CrawlFrontier(spark, wd, fetcher=filing_fetcher)
+    fr.submit(seed_index_df(spark, 10, n_hosts=2, hot_host=False))
+    fr.run()
+    assert extract_from_frontier(spark, wd) > 0
+
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+
+    v1 = SnapshotTable(wd + "/payload").current_version()
+    assert SnapshotTable(wd + "/extracted").latest_metrics()["payload_version"] == v1
+
+    fr2 = CrawlFrontier(spark, wd, fetcher=filing_fetcher)
+    fr2.submit(seed_index_df(spark, 25, n_hosts=2, hot_host=False))
+    fr2.run()
+    n2 = extract_from_frontier(spark, wd)
+    assert n2 > 0
+    tbl = SnapshotTable(wd + "/extracted").read(spark)
+    assert tbl.select("filename").distinct().count() == 25
+    # and a third run with nothing new extracts nothing
+    assert extract_from_frontier(spark, wd) == 0
