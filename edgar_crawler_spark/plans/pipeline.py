@@ -132,6 +132,7 @@ def caption_near_dups_from_frontier(
     # crash window where pairs committed but seen did not).
     cur_v = payload_tbl.current_version()
     last_v = seen_tbl.latest_metrics().get("payload_version", 0)
+    fallback = False
     try:
         payload = (
             payload_tbl.read_since(spark, last_v)
@@ -140,6 +141,7 @@ def caption_near_dups_from_frontier(
         )
     except ValueError:
         payload = payload_tbl.read(spark)
+        fallback = True
     if payload is None:
         if cur_v == 0:
             return None  # no payload table at all
@@ -150,7 +152,14 @@ def caption_near_dups_from_frontier(
         F.col("image_id").alias("doc_id"), F.col("caption").alias("text"), "phash"
     ).filter(F.col("text").isNotNull())
     prev = seen_tbl.read(spark)
-    if prev is not None:
+    # the seen anti-join (an O(seen-corpus) shuffle) runs ONLY on the
+    # fallback path — the file-level cut already guarantees novelty on
+    # the common path, and in the crash window where seen lagged, the
+    # replayed docs are not in seen either (the pairs token guard is
+    # what dedups there)
+    if prev is not None and (fallback or not last_v):
+        # not last_v: seen state predates the version watermark (or a
+        # full read was forced) — the anti-join is the exact gate
         docs = docs.join(prev.hint("shuffle_hash"), "doc_id", "left_anti")
     docs = docs.persist()
 
