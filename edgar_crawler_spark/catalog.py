@@ -479,7 +479,15 @@ FROM lineitem GROUP BY l_returnflag
 def q_percentile_summary(spark, sf):
     """Exact order statistics per group (no sketch): median and p95
     via Spark's exact percentile aggregate — linear interpolation,
-    bit-identical to DuckDB's quantile_cont on the same data."""
+    bit-identical to DuckDB's quantile_cont on the same data.
+
+    SCALE LABEL (like ann_bruteforce_topk): exact percentile buffers
+    each group's value multiset in the aggregation buffer — correct
+    baseline for bounded groups (6 here), NOT the 10^10-rows-per-group
+    path. At that scale swap `F.percentile` for `F.percentile_approx`
+    (t-digest, bounded memory, mergeable partials); it has no
+    bit-exact DuckDB mirror, which is why the oracle-checked row keeps
+    the exact form."""
     li = t(spark, sf, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
