@@ -156,6 +156,13 @@ def band_rows(
     first). Shared by the one-shot pair join and the persisted
     incremental index."""
     sigs = minhash_signatures(docs, k, tokenizer=tokenizer)
+    return band_rows_from_sigs(sigs, k, bands)
+
+
+def band_rows_from_sigs(sigs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """Band keys from an EXISTING signature frame — lets a caller that
+    also needs the signatures (verification) share one sigs subtree so
+    Spark's exchange reuse executes the token pipeline once."""
     rows_per_band = k // bands
     return (
         sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
@@ -302,8 +309,12 @@ class IncrementalLSHIndex:
                 )
                 .filter(F.col("est_jaccard") >= self.min_sim)
             )
-        pairs = pairs.persist()
-        pairs.count()  # materialize before the state append
+        # eager localCheckpoint: materialize before the state append
+        # (the result must not recompute through the mutated table)
+        # without handing the caller a persist() it can never release —
+        # checkpoint blocks are GC'd when the frame is dropped, so the
+        # streaming foreachBatch loop does not accumulate cache
+        pairs = pairs.localCheckpoint()
         self.table.append(new_rows, metrics={"docs": docs.count()})
         new_rows.unpersist()
         return pairs
@@ -326,7 +337,10 @@ def minhash_lsh_pairs(
     10^10 pairs and carries almost no signal). The cap is explicit and
     mirrored in the DuckDB oracle, not silent.
     """
-    banded = band_rows(docs, k, bands, tokenizer=tokenizer)
+    return _pairs_from_banded(band_rows(docs, k, bands, tokenizer=tokenizer), bucket_cap)
+
+
+def _pairs_from_banded(banded: DataFrame, bucket_cap: int) -> DataFrame:
     bucket_sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("__sz"))
     capped = banded.join(
         bucket_sizes.filter(F.col("__sz") <= bucket_cap).drop("__sz"),
@@ -664,9 +678,11 @@ def minhash_verified_pairs(
 
     Cost over raw candidates: one join of the k-row-per-doc signature
     table against the pair list (pairs are the small side after
-    banding) — token data never re-shuffles."""
+    banding) — token data never re-shuffles. Both the band keys and
+    the verification join derive from ONE sigs subtree, so Spark's
+    exchange reuse executes the token pipeline once."""
     sigs = minhash_signatures(docs, k, tokenizer=tokenizer)
-    pairs = minhash_lsh_pairs(docs, k, bands, bucket_cap, tokenizer=tokenizer)
+    pairs = _pairs_from_banded(band_rows_from_sigs(sigs, k, bands), bucket_cap)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
     )
@@ -706,10 +722,14 @@ def dedup_representatives_by(
     :func:`dedup_representatives`, the big table is never shuffled and
     the checkpoint-backed loser side carries a shuffle_hash hint."""
     comps = connected_components(pairs)
+    # LEFT join + -inf sentinel: a member missing from ``scores`` must
+    # still be a loser candidate (an inner join would silently keep it
+    # ALONGSIDE the winner, breaking one-representative-per-component)
     member_scores = comps.join(
         scores.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
         "node",
-    )
+        "left",
+    ).withColumn("__s", F.coalesce(F.col("__s"), F.lit(float("-inf"))))
     # argmax score, ties → lowest id, for ANY orderable id type:
     # min over (-score, id) == (score desc, id asc)
     winners = member_scores.groupBy("component").agg(

@@ -94,6 +94,7 @@ def caption_near_dups_from_frontier(
     workdir: str,
     index_path: str | None = None,
     max_hamming: int = 6,
+    min_sim: float | None = 0.8,
 ) -> DataFrame | None:
     """Post-crawl near-dup detection over THIS workdir's payload table,
     incremental across runs — the image+caption corpus twin of the
@@ -119,7 +120,13 @@ def caption_near_dups_from_frontier(
     )
 
     payload_tbl = SnapshotTable(os.path.join(workdir, "payload"))
-    idx = IncrementalLSHIndex(spark, index_path or os.path.join(workdir, "caption_lsh"))
+    # min_sim: caption candidates are DISPOSED by the agreeing-seed
+    # Jaccard estimate before they become near_dup_pairs rows —
+    # downstream consumers (--drop-near-dups) treat pairs as true
+    # duplicate edges, so raw banding false-positives must not land
+    idx = IncrementalLSHIndex(
+        spark, index_path or os.path.join(workdir, "caption_lsh"), min_sim=min_sim
+    )
     seen_tbl = SnapshotTable(os.path.join(workdir, "caption_lsh_seen"))
     pairs_tbl = SnapshotTable(os.path.join(workdir, "near_dup_pairs"))
 
@@ -150,7 +157,7 @@ def caption_near_dups_from_frontier(
 
     docs = payload.select(
         F.col("image_id").alias("doc_id"), F.col("caption").alias("text"), "phash"
-    ).filter(F.col("text").isNotNull())
+    )
     prev = seen_tbl.read(spark)
     # the seen anti-join (an O(seen-corpus) shuffle) runs ONLY on the
     # fallback path — the file-level cut already guarantees novelty on
@@ -163,19 +170,31 @@ def caption_near_dups_from_frontier(
         docs = docs.join(prev.hint("shuffle_hash"), "doc_id", "left_anti")
     docs = docs.persist()
 
-    cap_pairs = idx.add(docs).withColumn("via", F.lit("caption_minhash"))
+    # the two signals are INDEPENDENT: a null caption (every real
+    # filings/HTTP fetcher) must not disable the phash leg, and a
+    # null phash (decode failure) must not disable the caption leg
+    cap_docs = docs.filter(F.col("text").isNotNull())
+    cap_pairs = idx.add(cap_docs).withColumn("via", F.lit("caption_minhash"))
     # incremental Hamming: candidates are new×(new∪corpus), never
     # corpus×corpus — the join shape that survives 10^10 ingested rows
     ph_new = hamming_near_dup_pairs(
-        docs.select("doc_id", "phash"),
+        docs.filter(F.col("phash").isNotNull()).select("doc_id", "phash"),
         "doc_id",
         "phash",
         64,
         max_hamming,
-        corpus=None if prev is None else prev.select("doc_id", "phash"),
+        corpus=None
+        if prev is None
+        else prev.filter(F.col("phash").isNotNull()).select("doc_id", "phash"),
     ).select("doc_a", "doc_b", F.lit("phash").alias("via"))
 
-    out = cap_pairs.select("doc_a", "doc_b", "via").unionByName(ph_new).persist()
+    # eager localCheckpoint: materialized for the commits below WITHOUT
+    # a leaked persist (checkpoint blocks are GC'd with the frame)
+    out = (
+        cap_pairs.select("doc_a", "doc_b", "via")
+        .unionByName(ph_new)
+        .localCheckpoint()
+    )
     n = out.count()
     # crash-window discipline (commit order: index → pairs → seen):
     # the pairs commit is stamped with a token deterministic in the
@@ -231,13 +250,18 @@ def extract_from_frontier(
     log = log_tbl.read(spark)
     # incremental consumption of the BYTES side: the extracted
     # manifest records the payload version last processed, so a re-run
-    # scans only files appended since (read_since) — the slim log/
-    # filename anti-join below stays as the exact gate either way
-    # (and covers compaction fallback + crash replays).
+    # scans only files appended since (read_since). The watermark is
+    # keyed by the FILTER SIGNATURE: rows below the watermark that a
+    # prior run filtered OUT (type filter, dedup pruning) are not in
+    # the extracted table, so only a run under the SAME filters may
+    # skip them — a different filter config falls back to the full
+    # read, where the filename anti-join is the exact gate.
     payload_v = payload_tbl.current_version()
+    filter_sig = f"{sorted(filing_types) if filing_types else None}|{bool(drop_near_dups)}"
+    prev_metrics = extracted_tbl.latest_metrics()
     last_v = (
-        extracted_tbl.latest_metrics().get("payload_version", 0)
-        if skip_extracted
+        prev_metrics.get("payload_version", 0)
+        if skip_extracted and prev_metrics.get("filter_sig") == filter_sig
         else 0
     )
     try:
@@ -303,6 +327,10 @@ def extract_from_frontier(
     todo = payload.select("image_id", "bytes").join(
         slim.select("image_id").dropDuplicates(), "image_id", "left_semi"
     )
+    # explicit repartition: the semi-join shuffle upstream of the
+    # decode mapInPandas is AQE-coalescible by byte size, which would
+    # strangle the CPU-bound Python stage (repo rule — CLAUDE.md)
+    todo = todo.repartition(spark.sparkContext.defaultParallelism * 2)
     decoded = decode_content(todo).drop("bytes")
     work = decoded.join(F.broadcast(slim), "image_id")
 
@@ -316,7 +344,12 @@ def extract_from_frontier(
     n = long_rows.count()
     if n:
         extracted_tbl.append(
-            long_rows, metrics={"rows": n, "payload_version": payload_v}
+            long_rows,
+            metrics={
+                "rows": n,
+                "payload_version": payload_v,
+                "filter_sig": filter_sig,
+            },
         )
     long_rows.unpersist()
     return n

@@ -403,7 +403,21 @@ def run_extract_stage(spark, args, ex_cfg, runlog=None) -> None:
 
     ex_cfg = dict(EXTRACT_DEFAULTS, **(ex_cfg or {}))
 
-    if args.workdir and not (args.raw_dir or args.metadata_csv_in):
+    # table-native only when NOTHING requests the reference's folder
+    # flow: any of the explicit folder flags, an --out-dir, or folder
+    # keys supplied via --config must win (they did before --workdir
+    # mode existed — silently dropping them would break config parity)
+    cfg_folder_keys = any(
+        ex_cfg.get(k)
+        for k in (
+            "filings_metadata_file",
+            "raw_filings_folder",
+            "extracted_filings_folder",
+        )
+    )
+    if args.workdir and not (
+        args.raw_dir or args.metadata_csv_in or args.out_dir or cfg_folder_keys
+    ):
         # table-native stage 2: extract straight from the frontier's
         # payload/log snapshot tables into the 'extracted' table —
         # no folder-of-files round-trip (plans.pipeline.extract_from_frontier)
