@@ -256,3 +256,25 @@ def test_compaction_between_passes_falls_back_to_full_read(spark, tmp_path):
     got1 = {(r.doc_a, r.doc_b) for r in p1.collect()}
     assert got2 and not (got1 & got2)  # new pairs only, no re-emission
     assert n1 > 0
+
+
+def test_null_captions_do_not_disable_phash_leg(spark, tmp_path):
+    """Review regression: real fetchers return caption=None — the
+    phash signal must still find duplicate content."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+
+    wd = str(tmp_path / "wd")
+    # 4 clusters of 5 copies; cluster hashes occupy DISJOINT 16-bit
+    # blocks (cross-cluster hamming 32 >> 6, within-cluster 0)
+    payload = spark.range(20).select(
+        F.concat(F.lit("img"), F.col("id").cast("string")).alias("image_id"),
+        F.lit(None).cast("string").alias("caption"),
+        F.expr("CAST(65535 AS BIGINT) << (CAST(id % 4 AS INT) * 16)").alias("phash"),
+    )
+    SnapshotTable(wd + "/payload").append(payload)
+    out = caption_near_dups_from_frontier(spark, wd)
+    rows = out.collect()
+    assert rows and all(r.via == "phash" for r in rows)
+    assert len(rows) == 4 * (5 * 4 // 2)  # 4 clusters of 5 copies

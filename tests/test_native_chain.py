@@ -108,3 +108,36 @@ def test_extract_incremental_payload_cut(spark, tmp_path):
     assert tbl.select("filename").distinct().count() == 25
     # and a third run with nothing new extracts nothing
     assert extract_from_frontier(spark, wd) == 0
+
+
+def test_filter_change_readmits_skipped_filings(spark, tmp_path):
+    """Review regression: a type-filtered extraction must not burn the
+    payload watermark for OTHER types — a later unfiltered run
+    re-admits the filings the first run filtered out."""
+
+    def filing_fetcher(url: str, attempt: int):
+        import re
+
+        from edgar_crawler_spark.fixtures.raw_documents import make_8k, make_10k
+
+        i = int(re.search(r"-(\d{6})-index\.html$", url).group(1))
+        return 200, (make_10k if i % 2 else make_8k)(i).encode(), None
+
+    wd = str(tmp_path / "w")
+    fr = CrawlFrontier(spark, wd, fetcher=filing_fetcher)
+    fr.submit(seed_index_df(spark, 10, n_hosts=2, hot_host=False))
+    fr.run()
+
+    n1 = extract_from_frontier(spark, wd, filing_types=["10-K"])
+    assert n1 > 0
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+
+    tbl = SnapshotTable(wd + "/extracted").read(spark)
+    types1 = {r.filing_type for r in tbl.select("filing_type").distinct().collect()}
+    assert types1 == {"10-K"}
+
+    # unfiltered run: the 8-Ks below the watermark must still arrive
+    n2 = extract_from_frontier(spark, wd)
+    assert n2 > 0
+    tbl2 = SnapshotTable(wd + "/extracted").read(spark)
+    assert tbl2.select("filename").distinct().count() == 10
