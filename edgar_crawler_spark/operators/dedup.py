@@ -679,8 +679,9 @@ def minhash_verified_pairs(
     Cost over raw candidates: one join of the k-row-per-doc signature
     table against the pair list (pairs are the small side after
     banding) — token data never re-shuffles. Both the band keys and
-    the verification join derive from ONE sigs subtree, so Spark's
-    exchange reuse executes the token pipeline once."""
+    the verification join derive from ONE sigs subtree (identical
+    canonical exchanges, eligible for AQE stage reuse rather than
+    forcing two independent tokenize→hash→aggregate pipelines)."""
     sigs = minhash_signatures(docs, k, tokenizer=tokenizer)
     pairs = _pairs_from_banded(band_rows_from_sigs(sigs, k, bands), bucket_cap)
     sa = sigs.select(
