@@ -166,15 +166,18 @@ def bench_caption_dedup(spark, n: int, batches: int = 2) -> dict:
             base = F.when(
                 F.col("id") % 20 == 0, (F.col("id") / 100).cast("long") * 100
             ).otherwise(F.col("id"))
+            # caption tokens are ALL base-derived (no shared scaffold
+            # words): distinct captions have near-zero Jaccard, so the
+            # pair volume is the engineered dup clusters, not banding
+            # noise from a synthetic shared vocabulary
             rows = spark.range(b * per, (b + 1) * per).select(
                 F.concat(F.lit("img"), F.col("id").cast("string")).alias("image_id"),
                 F.concat(
-                    F.lit("photo of scene "),
-                    base.cast("string"),
-                    F.lit(" at location "),
-                    (base % 997).cast("string"),
-                    F.lit(" camera "),
-                    (base % 31).cast("string"),
+                    F.lit("s"), base.cast("string"),
+                    F.lit(" l"), (base % 997).cast("string"),
+                    F.lit(" c"), (base % 31).cast("string"),
+                    F.lit(" q"), (base % 13).cast("string"),
+                    F.lit(" z"), (base % 7).cast("string"),
                 ).alias("caption"),
                 (base * F.lit(2654435761)).alias("phash"),
             )
