@@ -111,6 +111,14 @@ def main() -> None:
         "only payload rows new since the last pass are signed",
     )
     ap.add_argument(
+        "--caption-dedup-min-sim",
+        type=float,
+        default=0.8,
+        help="dispose threshold for caption near-dup candidates "
+        "(agreeing-seed Jaccard estimate); pass -1 to emit raw "
+        "banded candidates instead",
+    )
+    ap.add_argument(
         "--drop-near-dups",
         action="store_true",
         help="table-native extract only: skip near-dup cluster members "
@@ -373,7 +381,10 @@ def main() -> None:
     if args.caption_dedup:
         from edgar_crawler_spark.plans.pipeline import caption_near_dups_from_frontier
 
-        pairs = caption_near_dups_from_frontier(spark, args.workdir)
+        ms = args.caption_dedup_min_sim
+        pairs = caption_near_dups_from_frontier(
+            spark, args.workdir, min_sim=None if ms is not None and ms < 0 else ms
+        )
         report["near_dup_pairs"] = 0 if pairs is None else pairs.count()
         if runlog:
             runlog.info("near-dup pass: %d pairs", report["near_dup_pairs"])
