@@ -94,3 +94,47 @@ def test_streaming_near_dup_matches_batch(spark, tmp_path):
         for r in minhash_lsh_pairs(docs(0, 120), bucket_cap=10**6).collect()
     }
     assert got2 == expected2
+
+
+def test_streaming_near_dup_verified_mode(spark, tmp_path):
+    """min_sim flows through run_streaming_near_dup's index kwargs:
+    streamed verified pairs equal the batch verified operator."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+    from edgar_crawler_spark.operators.dedup import minhash_verified_pairs
+    from edgar_crawler_spark.streaming.stream_frontier import run_streaming_near_dup
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("tok"), (F.col("id") % 9).cast("string"),
+                F.lit(" alpha beta gamma "), (F.col("id") % 3).cast("string"),
+            ).alias("text"),
+        )
+
+    src = str(tmp_path / "docs")
+    docs(0, 40).coalesce(1).write.mode("overwrite").parquet(src)
+    docs(40, 80).coalesce(1).write.mode("append").parquet(src)
+
+    _, n = run_streaming_near_dup(
+        spark,
+        src,
+        "doc_id long, text string",
+        index_path=str(tmp_path / "idx"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        bucket_cap=10**6,
+        min_sim=0.5,
+    )
+    assert n > 0
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in SnapshotTable(str(tmp_path / "pairs")).read(spark).collect()
+    }
+    expected = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_verified_pairs(docs(0, 80), bucket_cap=10**6, min_sim=0.5).collect()
+    }
+    assert got == expected
