@@ -713,9 +713,7 @@ def q_dedup_verified_pairs(spark, sf):
     return dedup.minhash_verified_pairs(t(spark, sf, "documents"), min_sim=0.5)
 
 
-SQL_DEDUP_VERIFIED = f"""
-WITH {_SQL_TOKS},
-{_SQL_MINHASH_SIGS},
+_SQL_VERIFIED_CTES = """
 banded AS (
   SELECT doc_id, seed // 2 AS band,
          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
@@ -727,14 +725,51 @@ capped AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
-  WHERE a.doc_id < b.doc_id)
-SELECT doc_a, doc_b,
-       ROUND(AVG(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
-FROM cand
-JOIN sigs sa ON sa.doc_id = cand.doc_a
-JOIN sigs sb ON sb.doc_id = cand.doc_b AND sb.seed = sa.seed
-GROUP BY doc_a, doc_b
-HAVING AVG(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) >= 0.5
+  WHERE a.doc_id < b.doc_id),
+ver AS (
+  SELECT doc_a, doc_b,
+         ROUND(AVG(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = cand.doc_a
+  JOIN sigs sb ON sb.doc_id = cand.doc_b AND sb.seed = sa.seed
+  GROUP BY doc_a, doc_b
+  HAVING AVG(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) >= 0.5)
+"""
+
+SQL_DEDUP_VERIFIED = f"""
+WITH {_SQL_TOKS},
+{_SQL_MINHASH_SIGS},
+{_SQL_VERIFIED_CTES}
+SELECT doc_a, doc_b, est_jaccard FROM ver
+"""
+
+
+def q_dedup_verified_representatives(spark, sf):
+    """The production dedup shape end-to-end: VERIFIED pairs (not raw
+    banding candidates) → components → keep the component minimum.
+    With honest candidate density, clustering raw candidates
+    over-merges; verification first is the correct edge set."""
+    docs = t(spark, sf, "documents")
+    return dedup.dedup_representatives(
+        docs, dedup.minhash_verified_pairs(docs, min_sim=0.5)
+    )
+
+
+SQL_DEDUP_VERIFIED_REPS = f"""
+WITH RECURSIVE {_SQL_TOKS},
+{_SQL_MINHASH_SIGS},
+{_SQL_VERIFIED_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ver
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM ver),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+comps AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT d.* FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comps WHERE node <> component)
 """
 
 
@@ -1774,6 +1809,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_minhash_lsh_shingle_pairs": (q_dedup_minhash_lsh_shingle, SQL_DEDUP_MINHASH_LSH_SHINGLE),
     "dedup_lsh_verified_pairs": (q_dedup_verified_pairs, SQL_DEDUP_VERIFIED),
+    "dedup_verified_representatives": (q_dedup_verified_representatives, SQL_DEDUP_VERIFIED_REPS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_near_dup_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
