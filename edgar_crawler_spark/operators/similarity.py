@@ -16,8 +16,18 @@ oracle, so results match exactly.
 
 from __future__ import annotations
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+
+#: n_cells × dim above which the literal-expression quantizer plan is
+#: refused and the broadcast path is used instead.  A literal plan embeds
+#: every centroid component as an ``F.lit`` node — at real IVF cell
+#: counts (k ≈ √N → 10⁴–10⁵ cells at 100 TB) that is 10⁶+ expression
+#: nodes: the plan cannot analyze, the task binaries balloon, and
+#: codegen gives up.  The broadcast path ships the centroids ONCE per
+#: executor as a numpy matrix instead.
+LITERAL_PLAN_MAX_TERMS = 4096
 
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
@@ -142,12 +152,96 @@ def _probe_cells_col(vec: Column, cents: list[list[int]], nprobe: int) -> Column
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["j"])
 
 
+def assign_cells_broadcast(
+    emb: DataFrame,
+    cents: list[list[float]],
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path for coarse quantization: the centroid matrix goes out
+    as ONE ``sc.broadcast`` numpy array (bytes per executor, not per
+    task, not per plan node) and a ``mapInPandas`` kernel computes the
+    ``nprobe`` best cells per vector per Arrow batch.  Returns
+    ``(id_col, cells array<int>, scores array<double>)`` with cells
+    ranked by centroid dot desc, index asc — the EXACT tie rule of
+    :func:`_cell_col` / :func:`_probe_cells_col`.
+
+    Bit-parity with the literal path: the kernel accumulates each dot
+    in the same left-fold order as ``F.aggregate`` (one fused
+    vectorized pass per dimension), so double-precision results are
+    IEEE-identical to the literal plan and the auto-routing in
+    :func:`ivf_topk` / :func:`kmeans_refine` cannot flip an argmax on
+    a near-tie.  Cost is the same flops as a BLAS matmul with more
+    memory traffic — irrelevant next to the Arrow transfer.
+
+    Scale shape: O(batch × n_cells × dim) per batch, no shuffle, no
+    row explosion; output is slim (id + nprobe ints + doubles) and is
+    hash-joined back by the callers (project-minimal-then-join-back,
+    the frontier/fetch.py pattern).
+    """
+    spark = emb.sparkSession
+    mat = np.asarray(cents, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(mat)
+    id_type = emb.schema[id_col].dataType.simpleString()
+    n = int(nprobe)
+    schema = f"{id_col} {id_type}, cells array<int>, scores array<double>"
+
+    def kernel(batches):
+        import pandas as pd
+
+        m = bc.value  # (k, dim)
+        k, dim = m.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (b, dim)
+            # left-fold accumulation per dimension == F.aggregate order
+            acc = np.zeros((len(pdf), k), dtype=np.float64)
+            for d in range(dim):
+                acc += vs[:, d : d + 1] * m[:, d]
+            order = np.argsort(-acc, axis=1, kind="stable")[:, :n]  # ties → low idx
+            scores = np.take_along_axis(acc, order, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cells": [r.astype("int32").tolist() for r in order],
+                    "scores": [r.tolist() for r in scores],
+                }
+            )
+
+    slim = emb.select(id_col, vec_col).repartition(
+        spark.sparkContext.defaultParallelism
+    )  # explicit repartition: exempt the CPU-bound kernel from AQE coalescing
+    return slim.mapInPandas(kernel, schema)
+
+
+def _use_broadcast(cents: list[list[float]], broadcast_centroids: bool | None) -> bool:
+    if broadcast_centroids is not None:
+        return broadcast_centroids
+    return len(cents) * len(cents[0]) > LITERAL_PLAN_MAX_TERMS
+
+
+def _with_cell_broadcast(
+    emb: DataFrame, cents: list[list[float]], vec_col: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """emb + a ``cell`` column via the broadcast kernel.  The join-back
+    carries an explicit shuffle_hash hint: the kernel output is a
+    Python-map node whose size Catalyst mis-estimates from the slim
+    child, and AQE would otherwise broadcast the wrong (possibly huge)
+    side."""
+    assign = assign_cells_broadcast(emb, cents, nprobe=1, vec_col=vec_col, id_col=id_col)
+    slim = assign.select(id_col, F.col("cells")[0].alias("cell"))
+    return emb.join(slim.hint("shuffle_hash"), on=id_col)
+
+
 def kmeans_refine(
     emb: DataFrame,
     n_cells: int = 8,
     dim: int = 64,
     iterations: int = 2,
     vec_col: str = "embedding",
+    broadcast_centroids: bool | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Spherical k-means from the deterministic :func:`ivf_centroids`
     seed — the 'trained quantizer' the IVF docstring promises. The
@@ -170,15 +264,33 @@ def kmeans_refine(
     The seed is the L2-NORMALIZED :func:`ivf_centroids` matrix: the
     monotonicity argument needs every centroid on the unit sphere
     (replacing a norm-16 integer seed row with a unit mean could
-    *lower* the dot objective)."""
+    *lower* the dot objective).
+
+    ``broadcast_centroids`` routes the per-row assignment: ``None``
+    (default) auto-selects the broadcast kernel whenever
+    n_cells × dim > :data:`LITERAL_PLAN_MAX_TERMS` (real IVF cell
+    counts — a literal plan would not analyze there); the two paths
+    are bit-identical (see :func:`assign_cells_broadcast`).  The
+    centroid UPDATE stays JVM-side either way: one map-side-combined
+    groupBy whose shuffle carries k×(dim+1) partials."""
     cents = []
     for c in ivf_centroids(n_cells, dim):
         nrm = sum(float(x) * float(x) for x in c) ** 0.5 or 1.0
         cents.append([float(x) / nrm for x in c])
+    use_bc = _use_broadcast(cents, broadcast_centroids)
     df = emb.select("vec_id", F.col(vec_col).alias("v"))
+    if use_bc:
+        # many assignment passes over the same input: don't re-read the
+        # source (or re-run the lineage) every round
+        df = df.localCheckpoint(eager=False)
+
+    def _assigned(frame: DataFrame, cs: list[list[float]]) -> DataFrame:
+        if use_bc:
+            return _with_cell_broadcast(frame, cs, vec_col="v")
+        return frame.withColumn("cell", _cell_col(F.col("v"), cs))
+
     for _ in range(iterations):
-        assigned = df.withColumn("cell", _cell_col(F.col("v"), cents))
-        rows = assigned.groupBy("cell").agg(
+        rows = _assigned(df, cents).groupBy("cell").agg(
             *[F.avg(F.col("v")[d].cast("double")).alias(f"m{d}") for d in range(dim)]
         ).collect()
         new = {}
@@ -188,13 +300,21 @@ def kmeans_refine(
             if nrm > 0:
                 new[r["cell"]] = [x / nrm for x in m]
         cents = [new.get(j, cents[j]) for j in range(n_cells)]
-    out = df.withColumn("cell", _cell_col(F.col("v"), cents)).select(
-        "vec_id",
-        "cell",
-        F.round(
-            F.greatest(*[_dot(F.col("v"), F.array(*[F.lit(x) for x in c])) for c in cents]), 4
-        ).alias("score"),
-    )
+    if use_bc:
+        final = assign_cells_broadcast(df, cents, nprobe=1, vec_col="v")
+        out = final.select(
+            "vec_id",
+            F.col("cells")[0].alias("cell"),
+            F.round(F.col("scores")[0], 4).alias("score"),
+        )
+    else:
+        out = df.withColumn("cell", _cell_col(F.col("v"), cents)).select(
+            "vec_id",
+            "cell",
+            F.round(
+                F.greatest(*[_dot(F.col("v"), F.array(*[F.lit(x) for x in c])) for c in cents]), 4
+            ).alias("score"),
+        )
     return cents, out
 
 
@@ -207,6 +327,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     nprobe: int = 1,
     cents: list[list[float]] | None = None,
+    broadcast_centroids: bool | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest
     centroid cell; a query probes its ``nprobe`` best cells (the
@@ -218,16 +339,33 @@ def ivf_topk(
     one cell each, so a (query, candidate) pair appears at most once
     and needs no dedup. Same output shape as brute_force_topk.
     ``cents`` injects a trained quantizer (see :func:`kmeans_refine`);
-    default is the deterministic seed."""
+    default is the deterministic seed.  ``broadcast_centroids`` picks
+    the quantizer application path (``None`` = auto above
+    :data:`LITERAL_PLAN_MAX_TERMS` — see :func:`assign_cells_broadcast`;
+    both paths are bit-identical)."""
     if cents is None:
         cents = ivf_centroids(n_cells, dim)
-    withc = emb.withColumn("cell", _cell_col(F.col(vec_col), cents))
     queries = emb.filter(F.col("vec_id").isin(query_ids))
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(_probe_cells_col(F.col(vec_col), cents, nprobe)).alias("cell"),
-    )
+    if _use_broadcast(cents, broadcast_centroids):
+        withc = _with_cell_broadcast(emb, cents, vec_col=vec_col)
+        probes = assign_cells_broadcast(queries, cents, nprobe=nprobe, vec_col=vec_col)
+        q = (
+            queries.join(
+                probes.select("vec_id", "cells").hint("shuffle_hash"), on="vec_id"
+            )
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                F.explode("cells").alias("cell"),
+            )
+        )
+    else:
+        withc = emb.withColumn("cell", _cell_col(F.col(vec_col), cents))
+        q = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(_probe_cells_col(F.col(vec_col), cents, nprobe)).alias("cell"),
+        )
     c = withc.select(F.col("vec_id").alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
     scored = (
         q.join(c, on="cell")

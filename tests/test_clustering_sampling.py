@@ -275,3 +275,59 @@ def test_image_dedup_representatives_resolution_aware(spark):
     assert rows[0][0] not in kept_best and "zcopy_lo" not in kept_best
     # cluster-external images are untouched either way
     assert len(kept_best) == len(kept_min) == len(rows) - 2
+
+
+def test_broadcast_centroids_bit_identical_to_literal(spark):
+    """The broadcast-numpy quantizer path (the 100 TB shape: centroids
+    shipped once per executor, mapInPandas argmax, no plan literals)
+    must be BIT-identical to the literal-expression path — the kernel
+    accumulates dots in F.aggregate's left-fold order, so auto-routing
+    can never flip an argmax on a near-tie."""
+    from edgar_crawler_spark.operators.similarity import ivf_topk, kmeans_refine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3]
+    lit = sorted(
+        map(tuple, ivf_topk(emb, qids, k=5, nprobe=2, broadcast_centroids=False).collect())
+    )
+    bc = sorted(
+        map(tuple, ivf_topk(emb, qids, k=5, nprobe=2, broadcast_centroids=True).collect())
+    )
+    assert lit == bc and len(lit) == 20
+
+    c_lit, a_lit = kmeans_refine(emb, iterations=2, broadcast_centroids=False)
+    c_bc, a_bc = kmeans_refine(emb, iterations=2, broadcast_centroids=True)
+    assert c_lit == c_bc  # refined centroids bitwise equal
+    assert sorted(map(tuple, a_lit.collect())) == sorted(map(tuple, a_bc.collect()))
+
+
+def test_broadcast_centroids_production_cell_count(spark):
+    """End-to-end at a REAL IVF cell count (n_cells=1024, dim=64 —
+    65,536 centroid components; a literal plan would embed them all as
+    expression nodes and fail to analyze at 10⁴+ cells). Auto-routing
+    must pick the broadcast kernel, train, assign, and serve a probed
+    search; assignments cross-checked against a local numpy argmax."""
+    import numpy as np
+
+    from edgar_crawler_spark.operators.similarity import (
+        LITERAL_PLAN_MAX_TERMS,
+        ivf_topk,
+        kmeans_refine,
+    )
+
+    assert 1024 * 64 > LITERAL_PLAN_MAX_TERMS  # auto-route engages
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, assigned = kmeans_refine(emb, n_cells=1024, dim=64, iterations=1)
+    rows = assigned.collect()
+    assert len(rows) == emb.count()
+
+    m = np.asarray(cents)
+    pdf = emb.toPandas()
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    expected = dict(zip(pdf["vec_id"], (vecs @ m.T).argmax(axis=1)))
+    assert all(expected[r.vec_id] == r.cell for r in rows)
+
+    out = ivf_topk(emb, [0, 1, 2, 3], k=5, cents=cents, nprobe=8).collect()
+    assert {r.query_id for r in out} == {0, 1, 2, 3}
+    for r in out:
+        assert 1 <= r.rnk <= 5 and -1.0001 <= r.cos <= 1.0001
