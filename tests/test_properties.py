@@ -121,3 +121,42 @@ def test_canonical_url_idempotent_and_hash_stable(spark):
     ).collect()
     bad = [(r.c1, r.c2) for r in out if r.c1 != r.c2]
     assert not bad, f"non-idempotent canonicalization: {bad[:5]}"
+
+
+def test_percentile_approx_within_rank_error_bound(spark):
+    """The approx-percentile scale path (GK sketch, bounded memory,
+    mergeable partials) must honor its guaranteed rank-error bound
+    n/accuracy vs the exact baseline: every approx value must lie
+    within the exact value window [sorted[q·n − err], sorted[q·n + err]]
+    of its group, per percentile column, at sf0.01."""
+    import math
+
+    from edgar_crawler_spark.catalog import (
+        PERCENTILE_APPROX_ACCURACY,
+        q_percentile_approx_summary,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in q_percentile_approx_summary(spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
+    ).toPandas()
+    cols = {"median_qty": ("l_quantity", 0.5), "p95_price": ("l_extendedprice", 0.95),
+            "median_discount": ("l_discount", 0.5)}
+    for key, grp in li.groupby(["l_returnflag", "l_linestatus"]):
+        row = approx[key]
+        n = len(grp)
+        assert row.n == n
+        err = math.ceil(n / PERCENTILE_APPROX_ACCURACY) + 1
+        for out_col, (src_col, q) in cols.items():
+            vals = sorted(grp[src_col])
+            rank = int(q * (n - 1))
+            lo = vals[max(0, rank - err)]
+            hi = vals[min(n - 1, rank + err)]
+            got = getattr(row, out_col)
+            assert lo - 1e-4 <= got <= hi + 1e-4, (
+                f"{key} {out_col}: {got} outside rank window [{lo}, {hi}]"
+            )
