@@ -49,10 +49,31 @@ METADATA_COLS = [
 
 
 
-def _size_partitioned(raw: DataFrame, num_partitions: int) -> DataFrame:
+#: below this many docs per partition the range-partitioner's extra
+#: sampling pass dominates the win from size-aware placement (measured:
+#: −32% on the 553-doc corpus at local[32], r03 driver bench) — use
+#: plain round-robin there. Above it (every real corpus) the LPT
+#: placement wins (2→8 scaling 0.61 → 0.76, r03 BENCH/BASELINE.md).
+SIZE_PARTITION_MIN_DOCS_PER_PART = 8
+
+
+def _size_partitioned(
+    raw: DataFrame, num_partitions: int, n_docs: int | None = None
+) -> DataFrame:
     """Size-aware repartition for the CPU-bound extraction stage: range
     by descending length (big docs first, similar sizes together), hash
-    tie-break so equal-length runs don't collapse into one partition."""
+    tie-break so equal-length runs don't collapse into one partition.
+
+    ``n_docs`` is an optional driver-known row-count hint (callers that
+    already counted the batch pass it — counting here would cost the
+    same extra pass we're avoiding): when the corpus is too small for
+    the range sampler to pay for itself, fall back to round-robin,
+    which is both faster at that size and still balanced by count."""
+    if (
+        n_docs is not None
+        and n_docs < num_partitions * SIZE_PARTITION_MIN_DOCS_PER_PART
+    ):
+        return raw.repartition(num_partitions)
     return raw.repartitionByRange(
         num_partitions,
         F.length(F.col("content")).desc(),
@@ -66,8 +87,11 @@ def extract_records(
     remove_tables: bool = True,
     include_signature: bool = False,
     num_partitions: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
-    """Run the extraction kernel over (content + metadata) rows."""
+    """Run the extraction kernel over (content + metadata) rows.
+    ``n_docs`` is an optional driver-known count hint for the adaptive
+    partitioner (see :func:`_size_partitioned`)."""
     if num_partitions is None:
         num_partitions = raw.sparkSession.sparkContext.defaultParallelism * 4
 
@@ -98,7 +122,7 @@ def extract_records(
                 out["filing_type"].append(row.get("Type"))
             yield pd.DataFrame(out)
 
-    return _size_partitioned(raw, num_partitions).mapInPandas(run, RECORD_SCHEMA)
+    return _size_partitioned(raw, num_partitions, n_docs).mapInPandas(run, RECORD_SCHEMA)
 
 
 JSON_RECORD_SCHEMA = StructType(
@@ -117,6 +141,7 @@ def extract_json_records(
     remove_tables: bool = True,
     include_signature: bool = False,
     num_partitions: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Like :func:`extract_records` but emits the record pre-serialized
     exactly as the reference writes it — ``json.dumps(indent=4,
@@ -162,7 +187,7 @@ def extract_json_records(
                 out["filing_type"].append(row.get("Type"))
             yield pd.DataFrame(out)
 
-    return _size_partitioned(raw, num_partitions).mapInPandas(run, JSON_RECORD_SCHEMA)
+    return _size_partitioned(raw, num_partitions, n_docs).mapInPandas(run, JSON_RECORD_SCHEMA)
 
 
 def items_long(records: DataFrame) -> DataFrame:

@@ -334,11 +334,17 @@ def extract_from_frontier(
     decoded = decode_content(todo).drop("bytes")
     work = decoded.join(F.broadcast(slim), "image_id")
 
+    # upper-bound count hint for the adaptive extraction partitioner:
+    # metadata-only (no bytes, no Python) so the count is cheap, and
+    # incremental stage-2 batches are usually small enough that the
+    # range-sampler's extra pass would dominate
+    n_work = slim.count()
     records = extract_records(
         work,
         items_to_extract=items_to_extract,
         remove_tables=remove_tables,
         include_signature=include_signature,
+        n_docs=n_work,
     )
     long_rows = items_long(records).persist()
     n = long_rows.count()
