@@ -133,7 +133,7 @@ def bench_extraction(spark) -> dict:
     df = spark.createDataFrame(pd.DataFrame(rows)).persist()
     n = df.count()
     t0 = time.time()
-    extract_records(df, remove_tables=True).write.format("noop").mode("overwrite").save()
+    extract_records(df, remove_tables=True, n_docs=n).write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
     df.unpersist()
     return {
@@ -240,17 +240,39 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    queries: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = CATALOG[name][0]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.time() - t0, 3)
+    # median-of-3 discipline: this VM steals 17–47% CPU, so single-shot
+    # wall times swing ±25% run to run. Each metric reports the median
+    # of 3 full passes plus {min, max} spread, so a reader can tell a
+    # real regression from scheduler noise.
+    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    def med(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
+
+    def spread(xs: list[float]) -> dict:
+        return {"median": med(xs), "min": min(xs), "max": max(xs)}
+
+    per_query: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    pass_totals: list[float] = []
+    for _ in range(REPS):
+        pass_total = 0.0
+        for name in HEADLINE:
+            fn = CATALOG[name][0]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            per_query[name].append(dt)
+            pass_total += dt
+        pass_totals.append(round(pass_total, 3))
+    queries = {name: med(ts) for name, ts in per_query.items()}
 
     bench_frontier(spark, 2000)  # python-worker/imaging warmup (steady-state measure)
-    frontier = bench_frontier(spark, FRONTIER_URLS)
-    extraction = bench_extraction(spark)
-    total = round(sum(queries.values()), 3)
+    frontier_runs = [bench_frontier(spark, FRONTIER_URLS) for _ in range(REPS)]
+    frontier = min(frontier_runs, key=lambda r: abs(r["urls_per_s"] - med([x["urls_per_s"] for x in frontier_runs])))
+    bench_extraction(spark)  # extractor-import warmup
+    extraction_runs = [bench_extraction(spark) for _ in range(REPS)]
+    extraction = min(extraction_runs, key=lambda r: abs(r["docs_per_s"] - med([x["docs_per_s"] for x in extraction_runs])))
+    total = med(pass_totals)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -263,6 +285,16 @@ def main() -> None:
                 "cpus": cpus,
                 "frontier": frontier,
                 "extraction": extraction,
+                "reps": REPS,
+                "spread": {
+                    "headline_total_wall": spread(pass_totals),
+                    "frontier_urls_per_s": spread(
+                        [r["urls_per_s"] for r in frontier_runs]
+                    ),
+                    "extraction_docs_per_s": spread(
+                        [r["docs_per_s"] for r in extraction_runs]
+                    ),
+                },
             }
         )
     )
