@@ -5,11 +5,14 @@ Real here (no image libs needed): PNG/stand-in-lossy decode
 (functions/imaging.py), validation (decode → dims/format/aHash),
 nearest-neighbour resize (pure numpy indexing).
 
+Also real: WAV/RIFF audio feature extraction (stdlib ``wave`` +
+numpy — no codec library needed; see :func:`extract_audio_features`).
+
 STUBBED (container lacks codec libs — plumbing is real, kernel raises):
-JPEG/video/audio decode for foreign containers, frame sampling, audio
-feature extraction. Each stub validates schema and batch shape, then
-raises NotImplementedError with the library it needs — swap the kernel
-on a cluster with PIL/ffmpeg present.
+JPEG decode for foreign containers and video frame sampling. Each stub
+validates schema and batch shape, then raises NotImplementedError with
+the library it needs — swap the kernel on a cluster with PIL/ffmpeg
+present.
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -138,24 +142,96 @@ def sample_video_frames(df: DataFrame, every_n: int = 30, bytes_col: str = "byte
     return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
-AUDIO_FEATURES_SCHEMA = StructType(
-    [
-        StructField("media_id", StringType()),
-        StructField("duration_s", IntegerType()),
-        StructField("n_windows", IntegerType()),
-    ]
-)
+AUDIO_FEATURES_FIELDS = [
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_s", DoubleType()),
+    StructField("rms", DoubleType()),
+    StructField("zero_crossing_rate", DoubleType()),
+    StructField("decode_ok", StringType()),  # ok | <error class>
+]
 
 
-def extract_audio_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """STUB: audio → windowed features. Kernel needs libsndfile/soundfile."""
+def extract_audio_features(
+    df: DataFrame, bytes_col: str = "bytes", num_partitions: int | None = None
+) -> DataFrame:
+    """REAL kernel for WAV/RIFF (the most common training-data audio
+    container): stdlib ``wave`` parses the header + PCM frames — no
+    codec library needed — and numpy computes per-clip features
+    (sample rate, channels, duration, RMS, zero-crossing rate) on the
+    channel-averaged signal normalized to [-1, 1].  8/16/24/32-bit PCM
+    all handled.  Non-WAV or corrupt blobs record their error class in
+    ``decode_ok`` per row and never throw (same contract as
+    :func:`decode_and_validate` — a poisoned blob must not kill a
+    100 TB job); compressed formats (mp3/flac/ogg) would slot into the
+    same kernel with soundfile/ffmpeg on a cluster that has them.
+
+    Input columns pass through; explicit repartition pins parallelism
+    for the CPU-bound stage (AQE byte-size coalescing exemption)."""
+    feature_names = {f.name for f in AUDIO_FEATURES_FIELDS}
+    passthrough = [f for f in df.schema.fields if f.name not in feature_names]
+    out_schema = StructType(passthrough + AUDIO_FEATURES_FIELDS)
+    keep = [f.name for f in passthrough]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(num_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                raise NotImplementedError(
-                    "audio decode requires libsndfile (absent in this container)"
-                )
-            yield pd.DataFrame(columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+        import io
+        import wave
 
-    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+        def decode_wav(data: bytes):
+            with wave.open(io.BytesIO(data), "rb") as wf:
+                rate = wf.getframerate()
+                n_ch = wf.getnchannels()
+                width = wf.getsampwidth()
+                n = wf.getnframes()
+                raw = wf.readframes(n)
+            if width == 1:  # unsigned 8-bit
+                x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                x = (x - 128.0) / 128.0
+            elif width == 2:
+                x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+            elif width == 3:  # 24-bit packed little-endian
+                b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                x = (
+                    b[:, 0].astype(np.int32)
+                    | (b[:, 1].astype(np.int32) << 8)
+                    | (b[:, 2].astype(np.int32) << 16)
+                )
+                x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float64) / float(1 << 23)
+            elif width == 4:
+                x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(1 << 31)
+            else:
+                raise ValueError(f"unsupported sample width {width}")
+            sig = x.reshape(-1, n_ch).mean(axis=1) if n_ch > 1 else x
+            return rate, n_ch, sig
+
+        for pdf in batches:
+            rows = {f.name: [] for f in AUDIO_FEATURES_FIELDS}
+            for data in pdf[bytes_col]:
+                try:
+                    rate, n_ch, sig = decode_wav(bytes(data))
+                    n = len(sig)
+                    rows["sample_rate"].append(rate)
+                    rows["n_channels"].append(n_ch)
+                    rows["n_samples"].append(n)
+                    rows["duration_s"].append(n / rate if rate else 0.0)
+                    rows["rms"].append(float(np.sqrt(np.mean(sig**2))) if n else 0.0)
+                    rows["zero_crossing_rate"].append(
+                        float(np.mean(np.signbit(sig[1:]) != np.signbit(sig[:-1])))
+                        if n > 1
+                        else 0.0
+                    )
+                    rows["decode_ok"].append("ok")
+                except Exception as e:
+                    for k in rows:
+                        rows[k].append(None)
+                    rows["decode_ok"][-1] = type(e).__name__
+            out = pdf[keep].copy()
+            for k, v in rows.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(run, out_schema)

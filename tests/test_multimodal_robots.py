@@ -47,14 +47,83 @@ def test_resize_images_real_kernel(spark):
         assert px.shape == (8, 8, 3)
 
 
-def test_video_audio_stubs_raise_with_real_plumbing(spark):
+def test_video_stub_raises_with_real_plumbing(spark):
     df = payload_df(spark, 3)
-    for op in (sample_video_frames, extract_audio_features):
-        stub = op(df)
-        # schema is real
-        assert len(stub.schema.fields) >= 2
-        with pytest.raises(Exception, match="NotImplementedError|requires"):
-            stub.collect()
+    stub = sample_video_frames(df)
+    # schema is real
+    assert len(stub.schema.fields) >= 2
+    with pytest.raises(Exception, match="NotImplementedError|requires"):
+        stub.collect()
+
+
+def _wav_bytes(freq=440.0, rate=8000, seconds=0.5, amp=0.5, n_channels=1, width=2):
+    """Synthesize a PCM sine-wave WAV blob with stdlib wave."""
+    import io
+    import wave
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    sig = amp * np.sin(2 * np.pi * freq * t)
+    if width == 2:
+        frames = (sig * 32767).astype("<i2")
+    elif width == 1:
+        frames = ((sig * 127) + 128).astype(np.uint8)
+    else:
+        raise ValueError(width)
+    if n_channels > 1:
+        frames = np.repeat(frames, n_channels)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        wf.writeframes(frames.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_features_real_wav_kernel(spark):
+    """extract_audio_features is a REAL kernel for WAV/RIFF: stdlib
+    wave + numpy, verified against the analytic properties of a
+    synthesized sine (duration, RMS = A/√2, zero-crossing rate =
+    2·freq/rate), across 16-bit mono, 8-bit mono, and stereo; a
+    poisoned blob records its error class and never throws."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "media_id": ["m16", "m8", "mst", "bad"],
+            "bytes": [
+                _wav_bytes(freq=440, rate=8000, seconds=0.5, amp=0.5, width=2),
+                _wav_bytes(freq=100, rate=8000, seconds=1.0, amp=0.25, width=1),
+                _wav_bytes(freq=440, rate=8000, seconds=0.5, amp=0.5, n_channels=2),
+                b"RIFFgarbage-not-a-wav",
+            ],
+        }
+    )
+    out = (
+        extract_audio_features(spark.createDataFrame(rows))
+        .toPandas()
+        .set_index("media_id")
+    )
+
+    m16 = out.loc["m16"]
+    assert m16.decode_ok == "ok"
+    assert (m16.sample_rate, m16.n_channels, m16.n_samples) == (8000, 1, 4000)
+    assert abs(m16.duration_s - 0.5) < 1e-9
+    assert abs(m16.rms - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(m16.zero_crossing_rate - 2 * 440 / 8000) < 0.005
+
+    m8 = out.loc["m8"]
+    assert m8.decode_ok == "ok" and m8.n_samples == 8000
+    assert abs(m8.rms - 0.25 / np.sqrt(2)) < 0.02  # 8-bit quantization noise
+    assert abs(m8.zero_crossing_rate - 2 * 100 / 8000) < 0.005
+
+    mst = out.loc["mst"]  # identical channels average to the mono signal
+    assert mst.decode_ok == "ok" and mst.n_channels == 2 and mst.n_samples == 4000
+    assert abs(mst.rms - 0.5 / np.sqrt(2)) < 0.01
+
+    bad = out.loc["bad"]
+    assert bad.decode_ok != "ok" and pd.isna(bad.sample_rate)
 
 
 def test_robots_gate_blocks_in_fetch(spark):
