@@ -84,16 +84,25 @@ class SnapshotTable:
         one) — lets writers stamp and re-read idempotence tokens."""
         return self._manifest(self.current_version()).get("metrics", {})
 
-    def append(self, df: DataFrame, metrics: dict | None = None, lineage: dict | None = None) -> int:
-        return self._write(df, "append", metrics, lineage)
+    def append(
+        self,
+        df: DataFrame,
+        metrics: dict | None = None,
+        lineage: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        return self._write(df, "append", metrics, lineage, partition_by)
 
     def overwrite(self, df: DataFrame, metrics: dict | None = None, lineage: dict | None = None) -> int:
         return self._write(df, "overwrite", metrics, lineage)
 
-    def _write(self, df: DataFrame, mode: str, metrics, lineage) -> int:
+    def _write(self, df: DataFrame, mode: str, metrics, lineage, partition_by=None) -> int:
         rel = os.path.join("data", uuid.uuid4().hex)
         path = os.path.join(self.root, rel)
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         m = dict(metrics or {})
         return self._commit([rel], mode, m, lineage or {})
 
@@ -104,6 +113,48 @@ class SnapshotTable:
         if not files:
             return None
         return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+
+    def pruned_paths(self, column: str, values: list) -> list[str]:
+        """Directory list for a partition-pruned read of a table whose
+        commits were written with ``append(partition_by=[column])``:
+        only the hive-layout subdirectories (``column=value``) for the
+        requested values, across every committed data dir.  Listing is
+        O(commits × len(values)) stat calls — never a table scan."""
+        dirs = []
+        for f in self._manifest(self.current_version())["files"]:
+            for v in values:
+                leaf = os.path.join(self.root, f, f"{column}={v}")
+                if os.path.isdir(leaf):
+                    dirs.append(leaf)
+        return dirs
+
+    def read_pruned(self, spark: SparkSession, column: str, values: list) -> DataFrame | None:
+        """Partition-pruned read: only the files under the touched
+        partition values are planned/scanned — per-batch input is
+        proportional to TOUCHED partitions, never to the whole table.
+        The partition column itself is not returned (it lives in the
+        directory name; callers that need it re-derive it, since it is
+        a pure function of the data columns).  None when nothing
+        matches."""
+        dirs = self.pruned_paths(column, values)
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def read_flat(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Full read of a hive-partitioned table (``append(partition_by=
+        ...)``) WITHOUT restoring the partition columns: recursive file
+        listing sidesteps Spark's multi-root partition-discovery
+        conflict (each commit is its own hive root).  Use when the
+        partition column is a derivable function of the data columns."""
+        v = self.current_version() if version is None else version
+        files = self._manifest(v)["files"]
+        if not files:
+            return None
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(*[os.path.join(self.root, f) for f in files])
+        )
 
     def read_since(self, spark: SparkSession, version: int) -> DataFrame | None:
         """Incremental consumption: ONLY the rows committed after

@@ -198,7 +198,20 @@ class IncrementalLSHIndex:
     bucket that outgrows the cap stops emitting from then on (output
     is monotone — pairs already emitted are not retracted), matching
     the batch operator exactly whenever no bucket ever exceeds the
-    cap."""
+    cap.
+
+    ``n_buckets`` (r03 VERDICT item 5) lays the band table out
+    hive-partitioned by ``kb = pmod(xxhash64(band, band_key),
+    n_buckets)``: ``add()`` then reads ONLY the partitions whose kb
+    values the batch touches (directory pruning — stat calls, no
+    scan), so per-batch corpus input is proportional to touched
+    partitions instead of the full 10^10-row index.  A small batch
+    (the production daily-slice/lookup regime) touches few partitions;
+    a bulk backfill touches all of them, which is proportional anyway.
+    The bucket count is stamped into every commit's metrics and
+    guarded on reopen (a mismatched reopen would silently prune the
+    wrong directories — same failure class as the bloom shard-count
+    drift guard).  0 = legacy unpartitioned layout."""
 
     def __init__(
         self,
@@ -209,6 +222,7 @@ class IncrementalLSHIndex:
         bucket_cap: int = LSH_BUCKET_CAP,
         tokenizer=tokens,
         min_sim: float | None = None,
+        n_buckets: int = 0,
     ):
         from edgar_crawler_spark.frontier.state import SnapshotTable
 
@@ -217,6 +231,19 @@ class IncrementalLSHIndex:
         self.k, self.bands, self.bucket_cap = k, bands, bucket_cap
         self.tokenizer = tokenizer
         self.min_sim = min_sim
+        self.n_buckets = int(n_buckets)
+        self.last_scan_dirs: list[str] | None = None  # pruning observability
+        if self.table.current_version():
+            stamped = int(self.table.latest_metrics().get("n_buckets", 0))
+            if stamped != self.n_buckets:
+                raise ValueError(
+                    f"LSH index at {path} was written with n_buckets={stamped} "
+                    f"but reopened with n_buckets={self.n_buckets} — a mismatched "
+                    "layout would prune the wrong partitions"
+                )
+
+    def _kb_col(self):
+        return F.pmod(F.xxhash64("band", "band_key"), F.lit(self.n_buckets)).cast("int")
 
     def add(self, docs: DataFrame) -> DataFrame:
         """Ingest a batch; returns distinct (doc_a, doc_b) candidate
@@ -224,7 +251,19 @@ class IncrementalLSHIndex:
         The returned frame is materialized (the state append must not
         recompute through it)."""
         new_rows = band_rows(docs, self.k, self.bands, tokenizer=self.tokenizer).persist()
-        old = self.table.read(self.spark)
+        if self.n_buckets:
+            # partition-pruned corpus read: the batch's touched kb values
+            # (≤ n_buckets ints — bounded driver collect), then only those
+            # hive subdirs are planned. The kb column is a pure function
+            # of (band, band_key), so the pruned read loses nothing the
+            # candidate join needs.
+            touched = [
+                r.kb for r in new_rows.select(self._kb_col().alias("kb")).distinct().collect()
+            ]
+            self.last_scan_dirs = self.table.pruned_paths("kb", touched)
+            old = self.table.read_pruned(self.spark, "kb", touched)
+        else:
+            old = self.table.read(self.spark)
         # only buckets TOUCHED by the batch can produce pairs, so the
         # corpus is pre-filtered to the batch's bucket keys BEFORE any
         # aggregate or join — per-batch shuffle is proportional to rows
@@ -283,8 +322,16 @@ class IncrementalLSHIndex:
                 .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
                 .dropDuplicates()
             )
-            all_bands = new_rows if old is None else new_rows.unionByName(
-                old.dropDuplicates(["doc_id", "band", "band_key"]).join(
+            # the agreeing-seed estimate needs member docs' band rows
+            # across ALL bands (non-matching bands count against the
+            # estimate), so the dispose leg reads the full table even
+            # under a pruned candidate leg — scan-only, semi-joined by
+            # the bounded member list, never shuffled whole
+            full_old = (
+                self.table.read_flat(self.spark) if self.n_buckets else old
+            ) if old is not None else None
+            all_bands = new_rows if full_old is None else new_rows.unionByName(
+                full_old.dropDuplicates(["doc_id", "band", "band_key"]).join(
                     new_rows.select("doc_id").dropDuplicates(), "doc_id", "left_anti"
                 )
             )
@@ -315,7 +362,17 @@ class IncrementalLSHIndex:
         # checkpoint blocks are GC'd when the frame is dropped, so the
         # streaming foreachBatch loop does not accumulate cache
         pairs = pairs.localCheckpoint()
-        self.table.append(new_rows, metrics={"docs": docs.count()})
+        metrics = {"docs": docs.count(), "n_buckets": self.n_buckets}
+        if self.n_buckets:
+            # one file per touched bucket per commit: repartition on kb
+            # before the hive-partitioned write (partitionBy alone would
+            # emit shuffle_partitions × buckets small files)
+            write_rows = new_rows.withColumn("kb", self._kb_col()).repartition(
+                self.n_buckets, "kb"
+            )
+            self.table.append(write_rows, metrics=metrics, partition_by=["kb"])
+        else:
+            self.table.append(new_rows, metrics=metrics)
         new_rows.unpersist()
         return pairs
 

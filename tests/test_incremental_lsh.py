@@ -137,3 +137,77 @@ def test_incremental_verified_equals_batch(spark, tmp_path):
             for r in idx.add(_docs(spark, lo, hi)).collect()
         }
     assert got == expected and got
+
+
+def test_partitioned_layout_prunes_corpus_scan(spark, tmp_path):
+    """n_buckets lays the band table out hive-partitioned by
+    kb = pmod(xxhash64(band, band_key), n_buckets): a batch touching
+    few buckets must READ fewer partition dirs than the table holds
+    (directory pruning), while 3-batch ≡ one-shot equivalence and
+    cross-batch recall are unchanged."""
+    import glob
+    import os
+
+    full = _docs(spark, 0, 120)
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(full, bucket_cap=10**6).collect()
+    }
+    path = str(tmp_path / "lshp")
+    idx = IncrementalLSHIndex(spark, path, bucket_cap=10**6, n_buckets=16)
+    got = set()
+    for lo, hi in [(0, 40), (40, 80), (80, 120)]:
+        got |= {(r.doc_a, r.doc_b) for r in idx.add(_docs(spark, lo, hi)).collect()}
+    assert got == expected
+
+    # a 1-doc batch touches ≤ bands distinct kb values -> pruned scan
+    one = spark.createDataFrame(
+        [(9000, _docs(spark, 0, 1).collect()[0].text)], ["doc_id", "text"]
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in idx.add(one).collect()}
+    assert (0, 9000) in pairs
+    total_leaf_dirs = {
+        os.path.dirname(f) for f in glob.glob(path + "/data/*/kb=*/*.parquet")
+    }
+    assert idx.last_scan_dirs is not None
+    assert 0 < len(idx.last_scan_dirs) < len(total_leaf_dirs)
+
+
+def test_partitioned_min_sim_matches_unpartitioned(spark, tmp_path):
+    """The dispose (agreeing-seed estimate) leg must produce identical
+    verified pairs under the pruned layout — it needs member docs' band
+    rows across ALL bands, which the full-table read_flat supplies."""
+    batches = [(0, 60), (60, 120)]
+
+    def run(path, n_buckets):
+        idx = IncrementalLSHIndex(
+            spark, path, bucket_cap=10**6, min_sim=0.5, n_buckets=n_buckets
+        )
+        out = set()
+        for lo, hi in batches:
+            out |= {
+                (r.doc_a, r.doc_b, r.est_jaccard)
+                for r in idx.add(_docs(spark, lo, hi)).collect()
+            }
+        return out
+
+    flat = run(str(tmp_path / "flat"), 0)
+    part = run(str(tmp_path / "part"), 16)
+    assert part == flat and len(flat) > 0
+
+
+def test_partitioned_reopen_guard(spark, tmp_path):
+    """A bucket-count mismatch on reopen must fail loudly — silently
+    pruning the wrong directories would drop near-dup edges."""
+    import pytest
+
+    path = str(tmp_path / "lshg")
+    IncrementalLSHIndex(spark, path, n_buckets=16).add(_docs(spark, 0, 10))
+    with pytest.raises(ValueError, match="n_buckets"):
+        IncrementalLSHIndex(spark, path, n_buckets=8)
+    # matching bucket count reopens fine and sees the corpus
+    idx = IncrementalLSHIndex(spark, path, n_buckets=16)
+    dup = spark.createDataFrame(
+        [(9000, _docs(spark, 0, 1).collect()[0].text)], ["doc_id", "text"]
+    )
+    assert (0, 9000) in {(r.doc_a, r.doc_b) for r in idx.add(dup).collect()}
