@@ -488,7 +488,12 @@ class CrawlFrontier:
         ctx["work"].unpersist()
         return m
 
-    def run(self, max_waves: int = 100, pipeline: bool | None = None) -> list[dict]:
+    def run(
+        self,
+        max_waves: int = 100,
+        pipeline: bool | None = None,
+        pipeline_eager_checkpoint: bool | None = None,
+    ) -> list[dict]:
         """Drain the frontier. With ``pipeline=True``, wave
         N+1's fetch overlaps wave N's commits: commits run on ONE
         background thread (strictly ordered — only the latest snapshot
@@ -502,17 +507,27 @@ class CrawlFrontier:
         re-filter drops. Crash-safety is identical to step()-by-step
         execution; only idle driver time is removed.
 
-        ``pipeline=None`` (default) resolves to True only on a local
-        master (ADVICE r02): the chained remainder's lineage passes
-        through wave N's nondeterministic fetch, and on a multi-executor
-        cluster a lost wave-N+1 cache partition would silently recompute
-        it — committed tables could diverge from the observed results.
-        Locally, cache eviction spills to disk and never recomputes, so
-        pipelining is safe. Pass ``pipeline=True`` explicitly on a
-        cluster only with a replicated persist/checkpoint of the
-        remainder."""
+        The chained remainder's lineage passes through wave N's
+        nondeterministic fetch, so it must never be silently
+        recomputable: each wave boundary cuts lineage with a
+        ``localCheckpoint``.  On a local master the checkpoint is LAZY
+        (materialized by wave N+1's first job — cache eviction spills
+        to disk locally and never recomputes, so laziness is free); on
+        a multi-executor cluster it is EAGER — the remainder's rows are
+        pinned in checkpoint blocks *before* the commit thread starts
+        publishing wave N, so a lost executor surfaces as a loud
+        missing-checkpoint-block failure (recover by re-running from
+        the committed tables, the normal crash path) instead of a
+        silent re-fetch that could diverge from what was committed
+        (the r02 ADVICE hazard that used to gate pipelining to local
+        masters — gate now dropped).  ``pipeline_eager_checkpoint``
+        overrides the master-based default, mainly for tests."""
         if pipeline is None:
-            pipeline = self.spark.sparkContext.master.startswith("local")
+            pipeline = True
+        if pipeline_eager_checkpoint is None:
+            pipeline_eager_checkpoint = not self.spark.sparkContext.master.startswith(
+                "local"
+            )
         if not pipeline:
             out = []
             for _ in range(max_waves):
@@ -559,9 +574,15 @@ class CrawlFrontier:
                 # truncates the logical plan at the wave boundary —
                 # without it the fetch join doubles the chained plan
                 # every wave (exponential analysis cost, plan-string
-                # OOM after ~30 waves). Lazily materialized by wave
-                # N+1's counts job, before wave N's caches release.
-                pending = ctx["next_pending"].localCheckpoint(eager=False)
+                # OOM after ~30 waves). Lazy locally (materialized by
+                # wave N+1's counts job, before wave N's caches
+                # release); EAGER on a cluster, pinning the remainder
+                # before the concurrent commit publishes wave N (see
+                # docstring — lineage must not pass recomputably
+                # through the nondeterministic fetch).
+                pending = ctx["next_pending"].localCheckpoint(
+                    eager=pipeline_eager_checkpoint
+                )
             if commit_fut is not None:
                 out.append(commit_fut.result())
                 prev_ctx["results"].unpersist()
