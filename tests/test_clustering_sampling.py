@@ -327,7 +327,13 @@ def test_broadcast_centroids_production_cell_count(spark):
     expected = dict(zip(pdf["vec_id"], (vecs @ m.T).argmax(axis=1)))
     assert all(expected[r.vec_id] == r.cell for r in rows)
 
-    out = ivf_topk(emb, [0, 1, 2, 3], k=5, cents=cents, nprobe=8).collect()
+    topk = ivf_topk(emb, [0, 1, 2, 3], k=5, cents=cents, nprobe=8)
+    # repo rule: joins whose big side is a Python-map node carry an
+    # explicit shuffle_hash hint (Catalyst inherits the slim child's
+    # stats and AQE would mis-broadcast the wrong side)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    out = topk.collect()
     assert {r.query_id for r in out} == {0, 1, 2, 3}
     for r in out:
         assert 1 <= r.rnk <= 5 and -1.0001 <= r.cos <= 1.0001
