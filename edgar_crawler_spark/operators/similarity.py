@@ -158,6 +158,7 @@ def assign_cells_broadcast(
     nprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    repartition: bool = True,
 ) -> DataFrame:
     """Scale path for coarse quantization: the centroid matrix goes out
     as ONE ``sc.broadcast`` numpy array (bytes per executor, not per
@@ -167,13 +168,15 @@ def assign_cells_broadcast(
     ranked by centroid dot desc, index asc — the EXACT tie rule of
     :func:`_cell_col` / :func:`_probe_cells_col`.
 
-    Bit-parity with the literal path: the kernel accumulates each dot
-    in the same left-fold order as ``F.aggregate`` (one fused
-    vectorized pass per dimension), so double-precision results are
-    IEEE-identical to the literal plan and the auto-routing in
-    :func:`ivf_topk` / :func:`kmeans_refine` cannot flip an argmax on
-    a near-tie.  Cost is the same flops as a BLAS matmul with more
-    memory traffic — irrelevant next to the Arrow transfer.
+    Bit-parity with the literal path: WHILE a literal twin exists
+    (n_cells × dim ≤ :data:`LITERAL_PLAN_MAX_TERMS`) the kernel
+    accumulates each dot in the same left-fold order as
+    ``F.aggregate`` (one fused vectorized pass per dimension), so
+    double-precision results are IEEE-identical to the literal plan
+    and auto-routing cannot flip an argmax on a near-tie.  Above the
+    threshold no literal plan can analyze, so there is nothing to be
+    bit-equal to — the kernel switches to a BLAS matmul (same flops,
+    ~an order of magnitude less memory traffic at 10³+ cells).
 
     Scale shape: O(batch × n_cells × dim) per batch, no shuffle, no
     row explosion; output is slim (id + nprobe ints + doubles) and is
@@ -192,16 +195,19 @@ def assign_cells_broadcast(
 
         m = bc.value  # (k, dim)
         k, dim = m.shape
+        exact_fold = k * dim <= LITERAL_PLAN_MAX_TERMS
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             vs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (b, dim)
-            # left-fold accumulation per dimension == F.aggregate order
-            acc = np.zeros((len(pdf), k), dtype=np.float64)
-            for d in range(dim):
-                acc += vs[:, d : d + 1] * m[:, d]
-            order = np.argsort(-acc, axis=1, kind="stable")[:, :n]  # ties → low idx
-            scores = np.take_along_axis(acc, order, axis=1)
+            acc = _dots_np(vs, m, exact_fold)
+            if n == 1:
+                best = acc.argmax(axis=1)  # ties → lowest index, no sort
+                order = best[:, None]
+                scores = acc[np.arange(len(pdf)), best][:, None]
+            else:
+                order = np.argsort(-acc, axis=1, kind="stable")[:, :n]  # ties → low idx
+                scores = np.take_along_axis(acc, order, axis=1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -210,10 +216,75 @@ def assign_cells_broadcast(
                 }
             )
 
-    slim = emb.select(id_col, vec_col).repartition(
-        spark.sparkContext.defaultParallelism
-    )  # explicit repartition: exempt the CPU-bound kernel from AQE coalescing
+    slim = emb.select(id_col, vec_col)
+    if repartition:
+        # explicit repartition: exempt the CPU-bound kernel from AQE
+        # coalescing. Callers that already hold a balanced, materialized
+        # input (kmeans_refine's checkpointed frame) pass False — a
+        # fresh full shuffle of the vectors per pass would dominate the
+        # kernel at large inputs
+        slim = slim.repartition(spark.sparkContext.defaultParallelism)
     return slim.mapInPandas(kernel, schema)
+
+
+def _dots_np(vs: np.ndarray, m: np.ndarray, exact_fold: bool) -> np.ndarray:
+    """(b, k) dot matrix.  ``exact_fold`` reproduces ``F.aggregate``'s
+    left-fold summation order bit-exactly (one fused pass per
+    dimension) for parity with the literal plan; otherwise a BLAS
+    matmul — same flops, far less memory traffic at large k."""
+    if not exact_fold:
+        return vs @ m.T
+    acc = np.zeros((vs.shape[0], m.shape[0]), dtype=np.float64)
+    for d in range(vs.shape[1]):
+        acc += vs[:, d : d + 1] * m[:, d]
+    return acc
+
+
+def _kmeans_partials_broadcast(
+    emb: DataFrame, cents: list[list[float]], vec_col: str = "v"
+) -> DataFrame:
+    """One k-means round's map side in a single Arrow pass: per batch,
+    assign every vector to its argmax-dot cell (same fold-order dots
+    and tie rule as :func:`assign_cells_broadcast`) and emit the
+    BATCH-LOCAL partials ``(cell, cnt, sums array<double>)``.  The
+    shuffle then carries at most partitions × k partial rows — the
+    vectors themselves are never joined or re-shuffled.  Training
+    means are float-summation-order dependent (true of any distributed
+    mean, including Spark's own avg merge); assignment under GIVEN
+    centroids stays the bit-exact operation."""
+    spark = emb.sparkSession
+    mat = np.asarray(cents, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(mat)
+
+    def kernel(batches):
+        import pandas as pd
+
+        m = bc.value
+        k, dim = m.shape
+        exact_fold = k * dim <= LITERAL_PLAN_MAX_TERMS
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            acc = _dots_np(vs, m, exact_fold)
+            cells = acc.argmax(axis=1)  # ties → lowest index
+            cnt = np.bincount(cells, minlength=k)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, cells, vs)
+            nz = np.flatnonzero(cnt)
+            yield pd.DataFrame(
+                {
+                    "cell": nz.astype("int32"),
+                    "cnt": cnt[nz].astype("int64"),
+                    "sums": [sums[j].tolist() for j in nz],
+                }
+            )
+
+    # no repartition: the caller hands a checkpointed, pre-balanced
+    # frame (see assign_cells_broadcast's repartition note)
+    return emb.select(vec_col).mapInPandas(
+        kernel, "cell int, cnt long, sums array<double>"
+    )
 
 
 def _use_broadcast(cents: list[list[float]], broadcast_centroids: bool | None) -> bool:
@@ -280,28 +351,51 @@ def kmeans_refine(
     use_bc = _use_broadcast(cents, broadcast_centroids)
     df = emb.select("vec_id", F.col(vec_col).alias("v"))
     if use_bc:
-        # many assignment passes over the same input: don't re-read the
-        # source (or re-run the lineage) every round
-        df = df.localCheckpoint(eager=False)
-
-    def _assigned(frame: DataFrame, cs: list[list[float]]) -> DataFrame:
-        if use_bc:
-            return _with_cell_broadcast(frame, cs, vec_col="v")
-        return frame.withColumn("cell", _cell_col(F.col("v"), cs))
+        # many assignment passes over the same input: balance ONCE,
+        # checkpoint, and let every round read the materialized blocks
+        # (re-reading the source or re-shuffling per round would
+        # dominate the kernels at large inputs)
+        df = df.repartition(
+            emb.sparkSession.sparkContext.defaultParallelism
+        ).localCheckpoint(eager=False)
 
     for _ in range(iterations):
-        rows = _assigned(df, cents).groupBy("cell").agg(
-            *[F.avg(F.col("v")[d].cast("double")).alias(f"m{d}") for d in range(dim)]
-        ).collect()
+        if use_bc:
+            # canonical distributed-k-means round: the kernel computes
+            # BATCH-LOCAL partials (cell, count, Σv) in the same pass
+            # as the argmax — no assignment join-back, no wide shuffle
+            # of the vectors; the only shuffle carries ≤ partitions × k
+            # partial rows and the driver collects k sums
+            rows = (
+                _kmeans_partials_broadcast(df, cents, vec_col="v")
+                .groupBy("cell")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.array(
+                        *[F.sum(F.col("sums")[d]).alias(f"s{d}") for d in range(dim)]
+                    ).alias("sums"),
+                )
+                .collect()
+            )
+            means = {
+                r["cell"]: [s / r["cnt"] for s in r["sums"]] for r in rows if r["cnt"]
+            }
+        else:
+            assigned = df.withColumn("cell", _cell_col(F.col("v"), cents))
+            agg_rows = assigned.groupBy("cell").agg(
+                *[F.avg(F.col("v")[d].cast("double")).alias(f"m{d}") for d in range(dim)]
+            ).collect()
+            means = {r["cell"]: [r[f"m{d}"] for d in range(dim)] for r in agg_rows}
         new = {}
-        for r in rows:
-            m = [r[f"m{d}"] for d in range(dim)]
+        for cell, m in means.items():
             nrm = sum(x * x for x in m) ** 0.5
             if nrm > 0:
-                new[r["cell"]] = [x / nrm for x in m]
+                new[cell] = [x / nrm for x in m]
         cents = [new.get(j, cents[j]) for j in range(n_cells)]
     if use_bc:
-        final = assign_cells_broadcast(df, cents, nprobe=1, vec_col="v")
+        final = assign_cells_broadcast(
+            df, cents, nprobe=1, vec_col="v", repartition=False
+        )
         out = final.select(
             "vec_id",
             F.col("cells")[0].alias("cell"),
