@@ -119,6 +119,15 @@ def main() -> None:
         "banded candidates instead",
     )
     ap.add_argument(
+        "--lsh-buckets",
+        type=int,
+        default=0,
+        help="hive-partition the caption LSH index into this many hash "
+        "buckets of (band, band_key) so each pass reads only touched "
+        "partitions (use on large corpora; must stay constant for the "
+        "life of the index; 0 = flat legacy layout)",
+    )
+    ap.add_argument(
         "--drop-near-dups",
         action="store_true",
         help="table-native extract only: skip near-dup cluster members "
@@ -383,7 +392,10 @@ def main() -> None:
 
         ms = args.caption_dedup_min_sim
         pairs = caption_near_dups_from_frontier(
-            spark, args.workdir, min_sim=None if ms is not None and ms < 0 else ms
+            spark,
+            args.workdir,
+            min_sim=None if ms is not None and ms < 0 else ms,
+            lsh_buckets=args.lsh_buckets,
         )
         report["near_dup_pairs"] = 0 if pairs is None else pairs.count()
         if runlog:
