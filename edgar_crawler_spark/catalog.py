@@ -508,6 +508,27 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+APPROX_DISTINCT_RSD = 0.02
+
+
+def q_approx_distinct_agg(spark, sf):
+    """The unbounded-cardinality twin of :func:`q_distinct_agg`:
+    HyperLogLog++ (``approx_count_distinct``, rsd 2%) — O(1/rsd²)
+    bytes per group regardless of cardinality, mergeable map-side
+    partials, no expand.  Exact COUNT(DISTINCT x, y) over k columns
+    multiplies the shuffle by k (Expand operator) and buffers distinct
+    sets; at 10^10 rows the sketch is the only shape that holds.  The
+    sketch has no cross-engine mirror (driver check is rows-only); the
+    relative-error bound vs the exact counts is pytest-enforced
+    (tests/test_properties.py)."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", APPROX_DISTINCT_RSD).alias("n_parts"),
+        F.approx_count_distinct("l_suppkey", APPROX_DISTINCT_RSD).alias("n_supps"),
+        F.count("*").alias("n"),
+    )
+
+
 PERCENTILE_APPROX_ACCURACY = 10_000
 
 
@@ -1818,6 +1839,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_tfidf_top_terms": (q_text_tfidf, SQL_TEXT_TFIDF),
     # new r04 rows, also inside the sampling window
     "percentile_approx_summary": (q_percentile_approx_summary, None),
+    "approx_distinct_agg": (q_approx_distinct_agg, None),
     "s2_date_guard": (q_s2_date_guard, SQL_S2),
     "s4_index_parse": (q_s4_index_parse, SQL_S4_INDEX_PARSE),
     "p1_url_prefix": (q_p1_url_prefix, SQL_P1),

@@ -160,3 +160,35 @@ def test_percentile_approx_within_rank_error_bound(spark):
             assert lo - 1e-4 <= got <= hi + 1e-4, (
                 f"{key} {out_col}: {got} outside rank window [{lo}, {hi}]"
             )
+
+
+def test_approx_distinct_within_rsd_bound(spark):
+    """HyperLogLog++ approx distinct (the unbounded-cardinality scale
+    path) must track the exact distinct counts within a few standard
+    errors of its configured rsd at sf0.01."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.catalog import APPROX_DISTINCT_RSD, q_approx_distinct_agg
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.l_returnflag: r for r in q_approx_distinct_agg(spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for key, ex in exact.items():
+        ap = approx[key]
+        assert ap.n == ex.n  # plain count is exact either way
+        for col in ("n_parts", "n_supps"):
+            rel_err = abs(getattr(ap, col) - getattr(ex, col)) / getattr(ex, col)
+            assert rel_err < 4 * APPROX_DISTINCT_RSD, (key, col, rel_err)
