@@ -1,0 +1,237 @@
+"""Scaling/pruning evidence for the round-4 components (north_rule:
+same job at two parallelism levels on the same input).
+
+Usage:
+  python tools/bench_scale_r04.py lsh-ingest <cpus>   # partitioned index ingestion docs/s
+  python tools/bench_scale_r04.py lsh-lookup          # pruned vs flat lookup-batch latency
+  python tools/bench_scale_r04.py kmeans <cpus>       # broadcast-centroid k-means rows/s
+
+Each invocation is one fresh Spark session and prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+# honest core-scaling: numpy's BLAS must not multithread under the
+# Spark workers (local[2] would silently use more than 2 cores)
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+sys.path.insert(0, ".")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from edgar_crawler_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def _docs(spark, copies: int):
+    """documents × copies with disjoint ids; text perturbed per copy so
+    cross-copy rows are near- but not exact-duplicates (realistic LSH
+    bucket sizes — exact replication would overload every bucket)."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    out = None
+    for c in range(copies):
+        part = d.select(
+            (F.col("doc_id") + F.lit(c * 1_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copytag{c}")).alias("text"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def lsh_ingest(cpus: int) -> dict:
+    """Marginal ingestion throughput: ONE 40k-doc batch added to an
+    index seeded with a prior 10k-doc batch (signing + touched-bucket
+    join + partitioned commit — the steady-state daily-slice shape)."""
+    from edgar_crawler_spark.operators.dedup import IncrementalLSHIndex
+
+    spark = get_spark(
+        app_name=f"lsh-ingest-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    docs = _docs(spark, 42).persist()
+    seed = docs.filter(F.col("doc_id") < 2_000_000).persist()   # 2 copies = 10k
+    batch = docs.filter(F.col("doc_id") >= 2_000_000).persist() # 40 copies = 200k
+    n = batch.count()
+    seed.count()
+    idx = IncrementalLSHIndex(spark, tempfile.mkdtemp() + "/lsh", n_buckets=16)
+    idx.add(seed)  # corpus state + python-worker warmup
+    t0 = time.time()
+    pairs = idx.add(batch).count()
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "metric": "lsh_index_ingest",
+        "cpus": cpus,
+        "n_docs": n,
+        "pairs": pairs,
+        "wall_s": round(wall, 2),
+        "docs_per_s": round(n / wall, 1),
+    }
+
+
+def lsh_lookup() -> dict:
+    """After ingesting a 50k-doc corpus, add a 10-doc probe batch:
+    partitioned (n_buckets=64) vs flat layout.  The scale signal is the
+    fraction of index BYTES planned (touched partition dirs vs all) —
+    at production partition sizes that ratio is the IO ratio; at this
+    toy corpus per-directory constants mask most of the wall-time win."""
+    import glob
+    import os
+
+    from edgar_crawler_spark.operators.dedup import IncrementalLSHIndex
+
+    def _tree_bytes(dirs):
+        total = 0
+        for d in dirs:
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                total += os.path.getsize(f)
+        return total
+
+    spark = get_spark(app_name="lsh-lookup", master="local[8]", shuffle_partitions=8)
+    docs = _docs(spark, 10).persist()
+    docs.count()
+    probe_rows = docs.limit(10).collect()
+    out = {"metric": "lsh_index_lookup", "n_corpus": 50000, "n_probe": 10}
+    for label, buckets in (("flat", 0), ("partitioned", 64)):
+        path = tempfile.mkdtemp() + f"/lsh_{label}"
+        idx = IncrementalLSHIndex(spark, path, n_buckets=buckets)
+        idx.add(docs)
+        walls = []
+        for rep in range(3):
+            # distinct probe ids per rep: re-adding identical ids would
+            # hit the crash-replay dedup path instead of the lookup path
+            p = spark.createDataFrame(
+                [(r.doc_id + 10_000_000 * (rep + 1), r.text) for r in probe_rows],
+                ["doc_id", "text"],
+            )
+            t0 = time.time()
+            idx.add(p).count()
+            walls.append(time.time() - t0)
+        out[label] = {"wall_s_median": round(sorted(walls)[1], 2)}
+        if buckets:
+            leafs = {
+                os.path.dirname(f) for f in glob.glob(path + "/data/*/kb=*/*.parquet")
+            }
+            scanned = idx.last_scan_dirs
+            out[label]["scanned_dirs"] = len(scanned)
+            out[label]["total_dirs"] = len(leafs)
+            out[label]["bytes_ratio"] = round(
+                _tree_bytes(scanned) / max(1, _tree_bytes(leafs)), 3
+            )
+    spark.stop()
+    return out
+
+
+def kmeans(cpus: int) -> dict:
+    from edgar_crawler_spark.operators.similarity import kmeans_refine
+
+    spark = get_spark(
+        app_name=f"kmeans-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    copies = 512  # 1.02M rows; explode keeps the lineage one node deep
+    big = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("c"),
+        )
+        .select(
+            (F.col("vec_id") + F.col("c") * 100_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.col("c").cast("double") * F.lit(1e-4)
+            ).alias("embedding"),
+        )
+        .repartition(max(cpus * 2, 8))
+        .persist()
+    )
+    n = big.count()
+    kmeans_refine(big.limit(2000), n_cells=1024, dim=64, iterations=1)[1].count()  # warm
+    t0 = time.time()
+    _, assigned = kmeans_refine(big, n_cells=1024, dim=64, iterations=2)
+    n_assigned = assigned.count()
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "metric": "kmeans_broadcast_1024c",
+        "cpus": cpus,
+        "n_rows": n,
+        "n_assigned": n_assigned,
+        "iterations": 2,
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(n * 3 / wall, 1),  # 2 train passes + 1 final assign
+    }
+
+
+def assign(cpus: int) -> dict:
+    """Marginal quantizer-application throughput (the per-row scan that
+    dominates at serving/ingest time, no train-loop barriers): one
+    assign pass over 1M checkpointed rows at n_cells=1024."""
+    from edgar_crawler_spark.operators.similarity import (
+        assign_cells_broadcast,
+        ivf_centroids,
+    )
+
+    spark = get_spark(
+        app_name=f"assign-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    copies = 512
+    big = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("c"),
+        )
+        .select(
+            (F.col("vec_id") + F.col("c") * 100_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.col("c").cast("double") * F.lit(1e-4)
+            ).alias("embedding"),
+        )
+        .repartition(cpus * 2)
+        .localCheckpoint()
+    )
+    n = big.count()
+    cents = [[float(x) for x in c] for c in ivf_centroids(1024, 64)]
+    assign_cells_broadcast(big.limit(4000), cents, repartition=False).count()  # warm
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        assign_cells_broadcast(big, cents, repartition=False).count()
+        walls.append(time.time() - t0)
+    wall = sorted(walls)[1]
+    spark.stop()
+    return {
+        "metric": "quantizer_assign_1024c",
+        "cpus": cpus,
+        "n_rows": n,
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(n / wall, 1),
+    }
+
+
+def main():
+    mode = sys.argv[1]
+    if mode == "lsh-ingest":
+        print(json.dumps(lsh_ingest(int(sys.argv[2]))))
+    elif mode == "lsh-lookup":
+        print(json.dumps(lsh_lookup()))
+    elif mode == "kmeans":
+        print(json.dumps(kmeans(int(sys.argv[2]))))
+    elif mode == "assign":
+        print(json.dumps(assign(int(sys.argv[2]))))
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()
