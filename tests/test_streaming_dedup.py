@@ -138,3 +138,56 @@ def test_streaming_near_dup_verified_mode(spark, tmp_path):
         for r in minhash_verified_pairs(docs(0, 80), bucket_cap=10**6, min_sim=0.5).collect()
     }
     assert got == expected
+
+
+def test_streaming_near_dup_partitioned_index(spark, tmp_path):
+    """The streaming path composes with the partition-pruned index
+    layout: n_buckets flows through index_kwargs, pairs are identical
+    to the batch operator across micro-batches, and the persisted
+    index carries the hive layout."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+    from edgar_crawler_spark.operators.dedup import minhash_lsh_pairs
+    from edgar_crawler_spark.streaming.stream_frontier import run_streaming_near_dup
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha beta gamma delta "),
+                (F.col("id") % 13).cast("string"),
+                F.lit(" epsilon "),
+                (F.col("id") % 4).cast("string"),
+            ).alias("text"),
+        )
+
+    src = str(tmp_path / "docs")
+    docs(0, 50).coalesce(1).write.mode("overwrite").parquet(src)
+    docs(50, 100).coalesce(1).write.mode("append").parquet(src)
+
+    idx, n1 = run_streaming_near_dup(
+        spark,
+        src,
+        "doc_id long, text string",
+        index_path=str(tmp_path / "idx"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        bucket_cap=10**6,
+        n_buckets=16,
+    )
+    assert n1 > 0
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs(0, 100), bucket_cap=10**6).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in SnapshotTable(str(tmp_path / "pairs")).read(spark).collect()
+    }
+    assert got == expected
+    # the persisted layout really is hive-partitioned by kb
+    assert glob.glob(str(tmp_path / "idx") + "/data/*/kb=*/*.parquet")
+    assert idx.last_scan_dirs is not None
