@@ -1404,6 +1404,24 @@ def q_emb_near_dup(spark, sf):
     return similarity.embedding_near_dup_pairs(t(spark, sf, "embeddings"), threshold=0.25)
 
 
+def q_ann_ivf_index(spark, sf):
+    """The PERSISTED ANN path end-to-end: ingest the embeddings into an
+    IncrementalIVFIndex (two batches — exercises the cross-commit
+    corpus), then serve the standard query set from the stored,
+    partition-pruned state. Serving a frozen seed quantizer at
+    nprobe=1 is definitionally the same search as ivf_topk, so the
+    stateful component gets a full value-level oracle (SQL_ANN_IVF)."""
+    import tempfile
+
+    emb = t(spark, sf, "embeddings")
+    idx = similarity.IncrementalIVFIndex(
+        spark, tempfile.mkdtemp(prefix="ivfidx_"), n_cells=8, dim=64
+    )
+    idx.add(emb.filter("vec_id % 2 = 0"))
+    idx.add(emb.filter("vec_id % 2 = 1"))
+    return idx.topk(emb.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)), k=5)
+
+
 SQL_EMB_NEAR_DUP = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   {_sql_bucket_expr("embedding::DOUBLE[]")} AS bucket
@@ -1840,6 +1858,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # new r04 rows, also inside the sampling window
     "percentile_approx_summary": (q_percentile_approx_summary, None),
     "approx_distinct_agg": (q_approx_distinct_agg, None),
+    "ann_ivf_index_topk": (q_ann_ivf_index, SQL_ANN_IVF),
     "s2_date_guard": (q_s2_date_guard, SQL_S2),
     "s4_index_parse": (q_s4_index_parse, SQL_S4_INDEX_PARSE),
     "p1_url_prefix": (q_p1_url_prefix, SQL_P1),

@@ -490,3 +490,160 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
     )
+
+
+class IncrementalIVFIndex:
+    """Persisted, partition-pruned ANN index over an embedding column —
+    the embedding twin of ``operators.dedup.IncrementalLSHIndex``
+    (that one answers 'near-duplicate TEXT of anything ingested?',
+    this one answers 'nearest EMBEDDINGS among everything ingested'
+    without rescanning the corpus per query batch).
+
+    State is one snapshot table of ``(vec_id, cell, embedding)`` rows,
+    hive-partitioned by ``kb = cell % n_buckets`` with the same
+    crash-safe manifest commits as every frontier table.  The coarse
+    quantizer (see :func:`kmeans_refine` / :func:`ivf_centroids`) is
+    FROZEN at index creation: centroids live in a sibling snapshot
+    table and a content hash is stamped into every vector commit —
+    reopening against different centroids fails loudly (cells from two
+    quantizers interleaved in one table would silently corrupt recall).
+    Re-training the quantizer = build a new index.
+
+    * ``add(batch)`` — assign cells with the broadcast kernel (one
+      Arrow pass, no plan literals) and append partitioned.  A
+      crash-replayed batch re-appends byte-identical rows (cell is a
+      pure function of the vector); the serving-side ``dropDuplicates``
+      on vec_id neutralizes them, mirroring the LSH index's replay
+      story.
+    * ``topk(queries, k, nprobe)`` — probe each query's ``nprobe``
+      best cells, then read ONLY the partition dirs those cells hash
+      into (directory stats, never a table scan) and run the standard
+      key-equality join + per-query top-k.  Per-query-batch input is
+      proportional to probed cells × their occupancy — at 10^10
+      ingested vectors a query batch plans a few partitions, not the
+      corpus.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        cents: list[list[float]] | None = None,
+        n_cells: int = 8,
+        dim: int = 64,
+        n_buckets: int = 16,
+        vec_col: str = "embedding",
+    ):
+        import hashlib
+        import os
+
+        from edgar_crawler_spark.frontier.state import SnapshotTable
+
+        self.spark = spark
+        self.vec_col = vec_col
+        self.n_buckets = int(n_buckets)
+        self.vectors = SnapshotTable(os.path.join(path, "vectors"))
+        self.cent_tbl = SnapshotTable(os.path.join(path, "centroids"))
+        stored = self.cent_tbl.read(spark)
+        if stored is not None:
+            rows = sorted(stored.collect(), key=lambda r: r.cell)
+            self.cents = [list(r.centroid) for r in rows]
+            if cents is not None and self._cent_hash(cents) != self._cent_hash(self.cents):
+                raise ValueError(
+                    f"IVF index at {path} was built with different centroids — "
+                    "cells from two quantizers cannot share a table; build a "
+                    "new index to re-train"
+                )
+        else:
+            self.cents = (
+                [[float(x) for x in c] for c in cents]
+                if cents is not None
+                else [[float(x) for x in c] for c in ivf_centroids(n_cells, dim)]
+            )
+            self.cent_tbl.overwrite(
+                spark.createDataFrame(
+                    [(j, c) for j, c in enumerate(self.cents)],
+                    "cell int, centroid array<double>",
+                ),
+                metrics={"cent_hash": self._cent_hash(self.cents)},
+            )
+        stamped = self.vectors.latest_metrics()
+        if stamped and int(stamped.get("n_buckets", self.n_buckets)) != self.n_buckets:
+            raise ValueError(
+                f"IVF index at {path} was written with n_buckets="
+                f"{stamped.get('n_buckets')} but reopened with {self.n_buckets}"
+            )
+
+    @staticmethod
+    def _cent_hash(cents) -> str:
+        import hashlib
+
+        return hashlib.md5(repr([[float(x) for x in c] for c in cents]).encode()).hexdigest()
+
+    def add(self, emb: DataFrame) -> int:
+        """Ingest a batch of (vec_id, embedding) rows; returns the
+        batch size. One Arrow pass for assignment, one partitioned
+        commit."""
+        assign = assign_cells_broadcast(emb, self.cents, nprobe=1, vec_col=self.vec_col)
+        slim = assign.select("vec_id", F.col("cells")[0].alias("cell"))
+        rows = (
+            emb.select("vec_id", self.vec_col)
+            .join(slim.hint("shuffle_hash"), "vec_id")
+            .withColumn("kb", F.pmod(F.col("cell"), F.lit(self.n_buckets)).cast("int"))
+            .repartition(self.n_buckets, "kb")
+        )
+        n = emb.count()
+        self.vectors.append(
+            rows, metrics={"docs": n, "n_buckets": self.n_buckets}, partition_by=["kb"]
+        )
+        return n
+
+    def topk(self, queries: DataFrame, k: int = 5, nprobe: int = 1) -> DataFrame:
+        """Top-k ingested neighbours for each query row
+        (vec_id, embedding). Returns (query_id, neighbor_id, rnk, cos);
+        a query id that was also ingested never matches itself."""
+        probes = assign_cells_broadcast(
+            queries, self.cents, nprobe=nprobe, vec_col=self.vec_col
+        )
+        q = (
+            queries.join(probes.select("vec_id", "cells").hint("shuffle_hash"), "vec_id")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col(self.vec_col).alias("qv"),
+                F.explode("cells").alias("cell"),
+            )
+        )
+        cells = sorted(
+            {int(c) for r in probes.select("cells").collect() for c in r.cells}
+        )
+        touched = sorted({c % self.n_buckets for c in cells})
+        corpus = self.vectors.read_pruned(self.spark, "kb", touched)
+        if corpus is None:
+            return q.select(
+                "query_id",
+                F.col("cell").cast("long").alias("neighbor_id"),
+                F.lit(1).alias("rnk"),
+                F.lit(0.0).alias("cos"),
+            ).limit(0)
+        c = (
+            corpus.filter(F.col("cell").isin(cells))  # prune within shared buckets
+            .dropDuplicates(["vec_id"])  # crash-replayed appends are exact dups
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col(self.vec_col).alias("cv"),
+                "cell",
+            )
+        )
+        scored = (
+            q.join(c, on="cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk", F.round("cos", 4).alias("cos"))
+        )

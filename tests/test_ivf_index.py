@@ -1,0 +1,89 @@
+"""IncrementalIVFIndex: persisted partition-pruned ANN over embeddings
+must serve exactly what the one-shot ivf_topk serves over the union of
+all ingested batches, with query batches planning only touched
+partition directories."""
+
+import glob
+
+import pytest
+
+from edgar_crawler_spark.operators.similarity import (
+    IncrementalIVFIndex,
+    ivf_centroids,
+    ivf_topk,
+)
+
+
+def _emb(spark, sf="/root/testdata/sf0.01"):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def test_ivf_index_matches_batch_operator(spark, tmp_path):
+    emb = _emb(spark)
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+
+    idx = IncrementalIVFIndex(spark, str(tmp_path / "ivf"), n_cells=8, dim=64)
+    assert idx.add(half_a) == half_a.count()
+    assert idx.add(half_b) == half_b.count()
+
+    qids = [0, 1, 2, 3, 4, 5]
+    queries = emb.filter(emb.vec_id.isin(qids))
+    for nprobe in (1, 3):
+        got = sorted(map(tuple, idx.topk(queries, k=5, nprobe=nprobe).collect()))
+        want = sorted(
+            map(tuple, ivf_topk(emb, qids, k=5, nprobe=nprobe).collect())
+        )
+        assert got == want and len(got) == 30
+
+
+def test_ivf_index_prunes_partitions_and_reopens(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    IncrementalIVFIndex(spark, path, n_cells=8, dim=64, n_buckets=8).add(emb)
+
+    # a fresh handle over the same path serves without re-ingesting
+    idx2 = IncrementalIVFIndex(spark, path, n_cells=8, dim=64, n_buckets=8)
+    one = emb.filter("vec_id = 7")
+    out = idx2.topk(one, k=3, nprobe=1).collect()
+    assert len(out) == 3 and all(r.query_id == 7 for r in out)
+
+    # nprobe=1 single query → exactly one touched bucket of 8
+    probes = {
+        int(c) % 8
+        for r in __import__(
+            "edgar_crawler_spark.operators.similarity", fromlist=["assign_cells_broadcast"]
+        ).assign_cells_broadcast(one, idx2.cents, nprobe=1).select("cells").collect()
+        for c in r.cells
+    }
+    scanned = idx2.vectors.pruned_paths("kb", sorted(probes))
+    total = {
+        d.rsplit("/", 1)[0] + "/" + d.rsplit("/", 1)[1]
+        for d in (
+            p.rsplit("/", 1)[0]
+            for p in glob.glob(path + "/vectors/data/*/kb=*/*.parquet")
+        )
+    }
+    assert 0 < len(scanned) < len(total)
+
+    # quantizer freeze: different centroids must fail loudly
+    other = [[float(x + 1) for x in c] for c in ivf_centroids(8, 64)]
+    with pytest.raises(ValueError, match="different centroids"):
+        IncrementalIVFIndex(spark, path, cents=other, n_buckets=8)
+    # bucket-count drift must fail loudly
+    with pytest.raises(ValueError, match="n_buckets"):
+        IncrementalIVFIndex(spark, path, n_cells=8, dim=64, n_buckets=4)
+
+
+def test_ivf_index_replayed_add_is_neutralized(spark, tmp_path):
+    """A crash-replayed batch re-appends identical rows; serving must
+    not emit duplicate neighbors."""
+    emb = _emb(spark)
+    idx = IncrementalIVFIndex(spark, str(tmp_path / "ivf"), n_cells=8, dim=64)
+    batch = emb.filter("vec_id < 100")
+    idx.add(batch)
+    idx.add(batch)  # replay
+    queries = emb.filter("vec_id = 3")
+    out = idx.topk(queries, k=5, nprobe=8).collect()
+    neighbors = [r.neighbor_id for r in out]
+    assert len(neighbors) == len(set(neighbors)) == 5
