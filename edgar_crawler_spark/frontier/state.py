@@ -93,8 +93,14 @@ class SnapshotTable:
     ) -> int:
         return self._write(df, "append", metrics, lineage, partition_by)
 
-    def overwrite(self, df: DataFrame, metrics: dict | None = None, lineage: dict | None = None) -> int:
-        return self._write(df, "overwrite", metrics, lineage)
+    def overwrite(
+        self,
+        df: DataFrame,
+        metrics: dict | None = None,
+        lineage: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        return self._write(df, "overwrite", metrics, lineage, partition_by)
 
     def _write(self, df: DataFrame, mode: str, metrics, lineage, partition_by=None) -> int:
         rel = os.path.join("data", uuid.uuid4().hex)
@@ -120,10 +126,23 @@ class SnapshotTable:
         only the hive-layout subdirectories (``column=value``) for the
         requested values, across every committed data dir.  Listing is
         O(commits × len(values)) stat calls — never a table scan."""
+        import glob
+
         dirs = []
         for f in self._manifest(self.current_version())["files"]:
+            root = os.path.join(self.root, f)
+            if not glob.glob(os.path.join(root, f"{column}=*")):
+                # a committed data dir with NO hive subdirs for this
+                # column (e.g. a flat compact() of a partitioned table)
+                # would make pruning silently drop its rows — fail loud;
+                # layout-preserving compaction is the supported path
+                raise ValueError(
+                    f"data dir {root} has no {column}= partitions — the table "
+                    "mixes flat and hive layouts; rewrite it with a "
+                    "partition-preserving compaction before pruned reads"
+                )
             for v in values:
-                leaf = os.path.join(self.root, f, f"{column}={v}")
+                leaf = os.path.join(root, f"{column}={v}")
                 if os.path.isdir(leaf):
                     dirs.append(leaf)
         return dirs

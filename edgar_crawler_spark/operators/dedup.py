@@ -245,6 +245,26 @@ class IncrementalLSHIndex:
     def _kb_col(self):
         return F.pmod(F.xxhash64("band", "band_key"), F.lit(self.n_buckets)).cast("int")
 
+    def compact(self) -> int:
+        """Fold the accumulated per-batch commits into one data dir —
+        same scan-planning hygiene as SnapshotTable.compact, but
+        PRESERVING the hive layout when ``n_buckets`` is set (a flat
+        rewrite would silently hide every row from the pruned reads;
+        ``pruned_paths`` fails loudly on such a mix).  ``kb`` is a pure
+        function of (band, band_key), so it is recomputed rather than
+        stored."""
+        if not self.n_buckets:
+            return self.table.compact(self.spark)
+        df = self.table.read_flat(self.spark)
+        if df is None:
+            return self.table.current_version()
+        rows = df.withColumn("kb", self._kb_col()).repartition(self.n_buckets, "kb")
+        return self.table.overwrite(
+            rows,
+            metrics={"compaction": True, "n_buckets": self.n_buckets},
+            partition_by=["kb"],
+        )
+
     def add(self, docs: DataFrame) -> DataFrame:
         """Ingest a batch; returns distinct (doc_a, doc_b) candidate
         pairs (lexicographic order) with at least one batch member.

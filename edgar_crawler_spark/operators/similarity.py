@@ -598,6 +598,24 @@ class IncrementalIVFIndex:
         )
         return n
 
+    def compact(self) -> int:
+        """Fold per-batch commits into one data dir, preserving the
+        hive layout (``kb`` recomputed from the stored ``cell``
+        column); also dedups crash-replayed rows while rewriting."""
+        df = self.vectors.read_flat(self.spark)
+        if df is None:
+            return self.vectors.current_version()
+        rows = (
+            df.dropDuplicates(["vec_id"])
+            .withColumn("kb", F.pmod(F.col("cell"), F.lit(self.n_buckets)).cast("int"))
+            .repartition(self.n_buckets, "kb")
+        )
+        return self.vectors.overwrite(
+            rows,
+            metrics={"compaction": True, "n_buckets": self.n_buckets},
+            partition_by=["kb"],
+        )
+
     def topk(self, queries: DataFrame, k: int = 5, nprobe: int = 1) -> DataFrame:
         """Top-k ingested neighbours for each query row
         (vec_id, embedding). Returns (query_id, neighbor_id, rnk, cos);

@@ -211,3 +211,43 @@ def test_partitioned_reopen_guard(spark, tmp_path):
         [(9000, _docs(spark, 0, 1).collect()[0].text)], ["doc_id", "text"]
     )
     assert (0, 9000) in {(r.doc_a, r.doc_b) for r in idx.add(dup).collect()}
+
+
+def test_partitioned_compaction_preserves_layout_and_results(spark, tmp_path):
+    """Index compaction must keep the hive layout (a flat rewrite would
+    make pruned reads silently miss the whole corpus — pruned_paths
+    fails loudly on such a mix) and change no answers."""
+    import glob
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "lshc")
+    idx = IncrementalLSHIndex(spark, path, bucket_cap=10**6, n_buckets=16)
+    for lo, hi in [(0, 40), (40, 80), (80, 120)]:
+        idx.add(_docs(spark, lo, hi))
+    dirs_before = {os.path.dirname(f) for f in glob.glob(path + "/data/*/kb=*/*.parquet")}
+    data_dirs_before = set(glob.glob(path + "/data/*"))
+    idx.compact()
+    data_dirs_after = {
+        os.path.dirname(os.path.dirname(f))
+        for f in glob.glob(path + "/data/*/kb=*/*.parquet")
+    }
+    # one compacted dir now holds the live table; hive layout intact
+    live = idx.table.latest_manifest()["files"]
+    assert len(live) == 1
+    assert glob.glob(path + f"/data/{os.path.basename(live[0].split('/')[-1])}/kb=*")
+
+    # answers unchanged after compaction
+    dup = spark.createDataFrame(
+        [(9000, _docs(spark, 0, 1).collect()[0].text)], ["doc_id", "text"]
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in idx.add(dup).collect()}
+    assert (0, 9000) in pairs
+
+    # the loud-failure guard: a FLAT rewrite of a partitioned table
+    # breaks pruned reads with an explicit error, never silence
+    flat = idx.table.read_flat(spark)
+    idx.table.overwrite(flat, metrics={"n_buckets": 16})
+    with pytest.raises(ValueError, match="no kb= partitions"):
+        idx.add(dup)

@@ -87,3 +87,18 @@ def test_ivf_index_replayed_add_is_neutralized(spark, tmp_path):
     out = idx.topk(queries, k=5, nprobe=8).collect()
     neighbors = [r.neighbor_id for r in out]
     assert len(neighbors) == len(set(neighbors)) == 5
+
+
+def test_ivf_index_compaction_preserves_layout_and_results(spark, tmp_path):
+    emb = _emb(spark)
+    idx = IncrementalIVFIndex(spark, str(tmp_path / "ivf"), n_cells=8, dim=64)
+    idx.add(emb.filter("vec_id % 2 = 0"))
+    idx.add(emb.filter("vec_id % 2 = 1"))
+    idx.add(emb.filter("vec_id % 2 = 1"))  # replayed commit
+    queries = emb.filter(emb.vec_id.isin([0, 1, 2]))
+    before = sorted(map(tuple, idx.topk(queries, k=5, nprobe=3).collect()))
+
+    idx.compact()
+    assert len(idx.vectors.latest_manifest()["files"]) == 1
+    after = sorted(map(tuple, idx.topk(queries, k=5, nprobe=3).collect()))
+    assert after == before
