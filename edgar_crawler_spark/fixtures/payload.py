@@ -82,3 +82,42 @@ def reference_pixels(i: int, seed: int = DEFAULT_SEED) -> np.ndarray:
     w = 16 + int(i % 3) * 8
     h = 16 + int(i % 5) * 4
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def audio_df(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic WAV corpus: PCM-16 sine clips whose
+    frequency/duration/amplitude are pure functions of the row id
+    (every 13th blob is poisoned — truncated RIFF — to exercise the
+    never-throws contract). Generated partition-parallel via
+    mapInPandas, like :func:`payload_df`."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "bytes": []}
+            for i in pdf["id"]:
+                i = int(i)
+                rows["media_id"].append(f"clip{i:05d}")
+                if i % 13 == 5:
+                    rows["bytes"].append(b"RIFFbroken-not-a-wav")
+                    continue
+                rate = 8000
+                freq = 110.0 * (1 + i % 8)
+                dur = 0.1 + (i % 4) * 0.05
+                amp = 0.2 + (i % 5) * 0.15
+                t = np.arange(int(rate * dur)) / rate
+                sig = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(rate)
+                    wf.writeframes(sig.tobytes())
+                rows["bytes"].append(buf.getvalue())
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).repartition(8).mapInPandas(gen, "media_id string, bytes binary")

@@ -567,8 +567,6 @@ class CrawlFrontier:
                 # safe to read len(metrics): the barrier above guarantees
                 # the previous _commit_phase (which appends) has finished
                 wave_no = len(self.metrics) + 1
-                commit_fut = commit_pool.submit(self._commit_phase, wave_no, ctx)
-                prev_ctx = ctx
                 # chain in-memory: fetched rows are already excluded
                 # from next_pending by the state split. localCheckpoint
                 # truncates the logical plan at the wave boundary —
@@ -576,13 +574,19 @@ class CrawlFrontier:
                 # every wave (exponential analysis cost, plan-string
                 # OOM after ~30 waves). Lazy locally (materialized by
                 # wave N+1's counts job, before wave N's caches
-                # release); EAGER on a cluster, pinning the remainder
-                # before the concurrent commit publishes wave N (see
-                # docstring — lineage must not pass recomputably
-                # through the nondeterministic fetch).
-                pending = ctx["next_pending"].localCheckpoint(
-                    eager=pipeline_eager_checkpoint
-                )
+                # release); EAGER on a cluster — and then it MUST
+                # materialize BEFORE the commit is submitted: if the
+                # commit and the checkpoint could both recompute a lost
+                # fetch partition concurrently, two independent
+                # re-fetches could publish diverging results. Order:
+                # pin the remainder first, publish second.
+                if pipeline_eager_checkpoint:
+                    pending = ctx["next_pending"].localCheckpoint(eager=True)
+                    commit_fut = commit_pool.submit(self._commit_phase, wave_no, ctx)
+                else:
+                    commit_fut = commit_pool.submit(self._commit_phase, wave_no, ctx)
+                    pending = ctx["next_pending"].localCheckpoint(eager=False)
+                prev_ctx = ctx
             if commit_fut is not None:
                 out.append(commit_fut.result())
                 prev_ctx["results"].unpersist()

@@ -132,9 +132,13 @@ class SnapshotTable:
         for f in self._manifest(self.current_version())["files"]:
             root = os.path.join(self.root, f)
             if not glob.glob(os.path.join(root, f"{column}=*")):
-                # a committed data dir with NO hive subdirs for this
+                if not glob.glob(os.path.join(root, "*.parquet")):
+                    # empty commit (just _SUCCESS): nothing to prune or
+                    # lose — skip the dir
+                    continue
+                # a data dir with ROWS but no hive subdirs for this
                 # column (e.g. a flat compact() of a partitioned table)
-                # would make pruning silently drop its rows — fail loud;
+                # would make pruning silently drop them — fail loud;
                 # layout-preserving compaction is the supported path
                 raise ValueError(
                     f"data dir {root} has no {column}= partitions — the table "

@@ -382,7 +382,14 @@ class IncrementalLSHIndex:
         # checkpoint blocks are GC'd when the frame is dropped, so the
         # streaming foreachBatch loop does not accumulate cache
         pairs = pairs.localCheckpoint()
-        metrics = {"docs": docs.count(), "n_buckets": self.n_buckets}
+        n_docs = docs.count()
+        if n_docs == 0:
+            # nothing to ingest: no commit (an empty hive write creates
+            # a partition-less data dir; harmless now that pruned_paths
+            # skips empty commits, but pointless manifest churn)
+            new_rows.unpersist()
+            return pairs
+        metrics = {"docs": n_docs, "n_buckets": self.n_buckets}
         if self.n_buckets:
             # one file per touched bucket per commit: repartition on kb
             # before the hive-partitioned write (partitionBy alone would

@@ -251,7 +251,10 @@ def _kmeans_partials_broadcast(
     vectors themselves are never joined or re-shuffled.  Training
     means are float-summation-order dependent (true of any distributed
     mean, including Spark's own avg merge); assignment under GIVEN
-    centroids stays the bit-exact operation."""
+    centroids stays the bit-exact operation.  Returns (partials_df,
+    broadcast handle) — the caller unpersists the broadcast after its
+    collect so per-round broadcasts don't accumulate over a training
+    loop's lifetime."""
     spark = emb.sparkSession
     mat = np.asarray(cents, dtype=np.float64)
     bc = spark.sparkContext.broadcast(mat)
@@ -282,8 +285,11 @@ def _kmeans_partials_broadcast(
 
     # no repartition: the caller hands a checkpointed, pre-balanced
     # frame (see assign_cells_broadcast's repartition note)
-    return emb.select(vec_col).mapInPandas(
-        kernel, "cell int, cnt long, sums array<double>"
+    return (
+        emb.select(vec_col).mapInPandas(
+            kernel, "cell int, cnt long, sums array<double>"
+        ),
+        bc,
     )
 
 
@@ -366,9 +372,9 @@ def kmeans_refine(
             # as the argmax — no assignment join-back, no wide shuffle
             # of the vectors; the only shuffle carries ≤ partitions × k
             # partial rows and the driver collects k sums
+            partials, bc = _kmeans_partials_broadcast(df, cents, vec_col="v")
             rows = (
-                _kmeans_partials_broadcast(df, cents, vec_col="v")
-                .groupBy("cell")
+                partials.groupBy("cell")
                 .agg(
                     F.sum("cnt").alias("cnt"),
                     F.array(
@@ -377,6 +383,7 @@ def kmeans_refine(
                 )
                 .collect()
             )
+            bc.unpersist()  # round is fully collected; don't accumulate
             means = {
                 r["cell"]: [s / r["cnt"] for s in r["sums"]] for r in rows if r["cnt"]
             }
@@ -593,6 +600,8 @@ class IncrementalIVFIndex:
             .repartition(self.n_buckets, "kb")
         )
         n = emb.count()
+        if n == 0:
+            return 0  # no empty hive commits (see IncrementalLSHIndex.add)
         self.vectors.append(
             rows, metrics={"docs": n, "n_buckets": self.n_buckets}, partition_by=["kb"]
         )
@@ -620,9 +629,14 @@ class IncrementalIVFIndex:
         """Top-k ingested neighbours for each query row
         (vec_id, embedding). Returns (query_id, neighbor_id, rnk, cos);
         a query id that was also ingested never matches itself."""
+        # eager checkpoint: the probe kernel runs ONCE — its result
+        # feeds both the driver-side pruning decision and the join leg
+        # (a lazy frame would re-run the kernel per consumer, and a
+        # nondeterministic queries source could then prune partitions
+        # that disagree with the joined cells)
         probes = assign_cells_broadcast(
             queries, self.cents, nprobe=nprobe, vec_col=self.vec_col
-        )
+        ).localCheckpoint()
         q = (
             queries.join(probes.select("vec_id", "cells").hint("shuffle_hash"), "vec_id")
             .select(
@@ -631,8 +645,10 @@ class IncrementalIVFIndex:
                 F.explode("cells").alias("cell"),
             )
         )
+        # bounded collect: ≤ n_cells distinct ints, never per-query rows
         cells = sorted(
-            {int(c) for r in probes.select("cells").collect() for c in r.cells}
+            int(r.c)
+            for r in probes.select(F.explode("cells").alias("c")).distinct().collect()
         )
         touched = sorted({c % self.n_buckets for c in cells})
         corpus = self.vectors.read_pruned(self.spark, "kb", touched)

@@ -123,9 +123,13 @@ def main() -> None:
         type=int,
         default=0,
         help="hive-partition the caption LSH index into this many hash "
-        "buckets of (band, band_key) so each pass reads only touched "
-        "partitions (use on large corpora; must stay constant for the "
-        "life of the index; 0 = flat legacy layout)",
+        "buckets of (band, band_key) so the candidate-generation leg "
+        "reads only touched partitions (use on large corpora; must stay "
+        "constant for the life of the index; 0 = flat legacy layout). "
+        "Note: with a dispose threshold set (the default min-sim), the "
+        "verification leg still scans the full index for member docs' "
+        "band rows -- pass --caption-dedup-min-sim -1 for the fully "
+        "pruned candidates-only pass",
     )
     ap.add_argument(
         "--drop-near-dups",

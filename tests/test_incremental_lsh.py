@@ -251,3 +251,29 @@ def test_partitioned_compaction_preserves_layout_and_results(spark, tmp_path):
     idx.table.overwrite(flat, metrics={"n_buckets": 16})
     with pytest.raises(ValueError, match="no kb= partitions"):
         idx.add(dup)
+
+
+def test_empty_batch_does_not_poison_partitioned_layout(spark, tmp_path):
+    """An all-filtered batch (the real-fetcher case: every caption is
+    null) must not break later pruned reads: empty adds commit nothing,
+    and pruned_paths skips genuinely empty data dirs (only a dir WITH
+    rows and no hive subdirs is a layout violation)."""
+    path = str(tmp_path / "lshe")
+    idx = IncrementalLSHIndex(spark, path, bucket_cap=10**6, n_buckets=16)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert idx.add(empty).count() == 0
+    assert idx.table.current_version() == 0  # no manifest churn
+
+    idx.add(_docs(spark, 0, 30))
+    # an empty PARTITIONED commit forced through the raw table API
+    # (e.g. an older writer) must be skipped by pruning, not fatal
+    idx.table.append(
+        spark.createDataFrame([], "doc_id long, band int, band_key string, kb int"),
+        metrics={"n_buckets": 16},
+        partition_by=["kb"],
+    )
+    dup = spark.createDataFrame(
+        [(9000, _docs(spark, 0, 1).collect()[0].text)], ["doc_id", "text"]
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in idx.add(dup).collect()}
+    assert (0, 9000) in pairs

@@ -48,7 +48,7 @@ def _docs(spark, copies: int):
 
 
 def lsh_ingest(cpus: int) -> dict:
-    """Marginal ingestion throughput: ONE 40k-doc batch added to an
+    """Marginal ingestion throughput: ONE 200k-doc batch added to an
     index seeded with a prior 10k-doc batch (signing + touched-bucket
     join + partitioned commit — the steady-state daily-slice shape)."""
     from edgar_crawler_spark.operators.dedup import IncrementalLSHIndex
