@@ -1426,6 +1426,40 @@ def q_audio_features(spark, sf):
     )
 
 
+def q_text_line_dedup(spark, sf):
+    """C4-style boilerplate-line removal (operators/text.py:line_dedup)
+    over a derived multi-line corpus: the synthetic documents are
+    single-line, so both engines first split them identically
+    (literal replace of a frequent token with a newline) — then every
+    line repeating in > 3 documents is dropped and docs are rebuilt
+    from the surviving lines in order."""
+    from edgar_crawler_spark.operators.text import line_dedup
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.expr("replace(text, ' agg ', '\\n')").alias("text")
+    )
+    return line_dedup(docs, max_df=3)
+
+
+SQL_TEXT_LINE_DEDUP = """
+WITH src AS (SELECT doc_id, replace(text, ' agg ', chr(10)) AS text FROM documents),
+lines AS (
+  SELECT doc_id, u.i AS pos, ls[u.i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+       LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) u
+),
+freq AS (SELECT line FROM (
+  SELECT line, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line) WHERE df > 3),
+kept AS (SELECT l.* FROM lines l
+         WHERE NOT EXISTS (SELECT 1 FROM freq f WHERE f.line = l.line)),
+rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(r.text, '') AS text
+FROM src d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 _IVF_INDEX_CACHE: dict = {}
 
 
@@ -1891,6 +1925,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "approx_distinct_agg": (q_approx_distinct_agg, None),
     "ann_ivf_index_topk": (q_ann_ivf_index, SQL_ANN_IVF),
     "audio_wav_features": (q_audio_features, None),
+    "text_line_dedup": (q_text_line_dedup, SQL_TEXT_LINE_DEDUP),
     "s2_date_guard": (q_s2_date_guard, SQL_S2),
     "s4_index_parse": (q_s4_index_parse, SQL_S4_INDEX_PARSE),
     "p1_url_prefix": (q_p1_url_prefix, SQL_P1),

@@ -230,3 +230,61 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         h48_col(norm).alias("fp_h48"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate-line removal: drop every line whose global
+    document frequency exceeds ``max_df`` (navigation chrome, cookie
+    banners, license footers — the lines that repeat across a crawl),
+    then reassemble each document from its surviving lines in order.
+    Returns (id_col, text) with the INPUT row count preserved — a doc
+    whose every line was boilerplate comes back as the empty string.
+
+    Scale shape: one explode (posexplode over split), one map-side-
+    combined groupBy for the global line frequencies, one anti-join of
+    the line stream against the frequent set, one groupBy to rebuild —
+    all standard shuffle-aware primitives over line hashes + text, no
+    UDF anywhere. The frequent-line set is df-capped by construction
+    (each line in it appears in > max_df docs), so at 10^10 docs it is
+    orders smaller than the line stream it filters.
+    """
+    import re as _re
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    lines = (
+        docs.repartition(par)
+        .select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+                "pos", "line"
+            ),
+        )
+    )
+    freq = (
+        lines.dropDuplicates([id_col, "line"])
+        .groupBy("line")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("line")
+    )
+    kept = lines.join(freq, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("__kept_text")
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(F.col("__kept_text"), F.lit("")).alias("text"))
+    )

@@ -90,3 +90,30 @@ def test_dup_ngram_stats_randomized_vs_python(spark):
             assert i not in got
         else:
             assert got[i] == exp, (i, s, got[i], exp)
+
+
+def test_line_dedup_removes_global_boilerplate(spark):
+    """Lines repeating in > max_df docs are dropped everywhere; unique
+    lines survive in order; an all-boilerplate doc comes back empty and
+    the row count is preserved."""
+    from edgar_crawler_spark.operators.text import line_dedup
+
+    banner = "ACCEPT COOKIES"
+    footer = "(c) example corp"
+    rows = []
+    for i in range(6):
+        rows.append((i, f"{banner}\nunique body {i}\n{footer}"))
+    rows.append((6, f"{banner}\n{footer}"))  # nothing but boilerplate
+    rows.append((7, "standalone doc with no boilerplate"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r.doc_id: r.text for r in line_dedup(docs, max_df=2).collect()}
+    assert len(out) == 8  # row count preserved
+    for i in range(6):
+        assert out[i] == f"unique body {i}"  # boilerplate gone, order kept
+    assert out[6] == ""  # fully-boilerplate doc emptied, not dropped
+    assert out[7] == "standalone doc with no boilerplate"
+
+    # max_df high enough -> nothing removed
+    untouched = {r.doc_id: r.text for r in line_dedup(docs, max_df=10).collect()}
+    assert untouched == {i: t for i, t in rows}
