@@ -1136,6 +1136,42 @@ WHERE rn <= 5
 """
 
 
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.2, "zh": 0.1}
+_MIX_N = 100
+
+
+def q_sample_mixture(spark, sf):
+    """Training-mix sampling (operators/sampling.py:mixture_sample):
+    ≈n rows at fixed per-language proportions, rows chosen by hash
+    order — the domain-mixing step of corpus curation, deterministic
+    and engine-portable. The oracle inlines the same largest-remainder
+    quotas."""
+    from edgar_crawler_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        t(spark, sf, "documents"), "lang", _MIX_WEIGHTS, _MIX_N, "doc_id"
+    )
+
+
+def _mixture_sql() -> str:
+    from edgar_crawler_spark.operators.sampling import mixture_quotas
+
+    quotas = mixture_quotas(_MIX_WEIGHTS, _MIX_N)
+    rows = ", ".join(f"('{g}', {q})" for g, q in sorted(quotas.items()))
+    return f"""
+WITH q(lang, quota) AS (VALUES {rows}),
+r AS (
+  SELECT d.*, q.quota, ROW_NUMBER() OVER (
+    PARTITION BY d.lang
+    ORDER BY {h48_sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn
+  FROM documents d JOIN q USING (lang))
+SELECT lang, doc_id, text, source, n_chars FROM r WHERE rn <= quota
+"""
+
+
+SQL_SAMPLE_MIXTURE = _mixture_sql()
+
+
 _JACCARD_MAX_DF = 450  # > max df at sf0.01 (402): cap ACTIVE but pair-neutral
 
 
@@ -1926,6 +1962,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf_index_topk": (q_ann_ivf_index, SQL_ANN_IVF),
     "audio_wav_features": (q_audio_features, None),
     "text_line_dedup": (q_text_line_dedup, SQL_TEXT_LINE_DEDUP),
+    "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "s2_date_guard": (q_s2_date_guard, SQL_S2),
     "s4_index_parse": (q_s4_index_parse, SQL_S4_INDEX_PARSE),
     "p1_url_prefix": (q_p1_url_prefix, SQL_P1),

@@ -43,3 +43,55 @@ def stratified_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mixture_quotas(weights: dict[str, float], n: int) -> dict[str, int]:
+    """Deterministic largest-remainder seat allocation: per-group
+    quotas proportional to ``weights`` summing exactly to ``n``
+    (remainder seats go to the largest fractional parts, ties broken
+    by group name). Pure driver-side arithmetic over the (small, given)
+    weight spec — no data-dependent input, so both engines can inline
+    identical quota literals."""
+    total = float(sum(weights.values()))
+    exact = {g: n * w / total for g, w in weights.items()}
+    base = {g: int(exact[g]) for g in weights}
+    leftover = n - sum(base.values())
+    by_frac = sorted(weights, key=lambda g: (-(exact[g] - base[g]), g))
+    for g in by_frac[:leftover]:
+        base[g] += 1
+    return base
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    n: int,
+    key_col: str,
+) -> DataFrame:
+    """Training-data MIXING: draw ≈n rows with per-group proportions
+    fixed by ``weights`` (the domain/source-mixing step of corpus
+    curation — e.g. 60% web, 30% code, 10% reference). Quotas come from
+    :func:`mixture_quotas`; rows within each group are chosen by hash
+    order (deterministic, rerun-stable, engine-portable), so the sample
+    is exactly reproducible and nests consistently as n grows within a
+    group. A group smaller than its quota contributes everything it has
+    (no reallocation — the shortfall is visible to the caller rather
+    than silently shifting the mix). Groups outside ``weights`` are
+    excluded.
+
+    Scale shape: one shuffle on the group key for the rank window; the
+    quota table is groups-sized and broadcast."""
+    spark = df.sparkSession
+    quotas = mixture_quotas(weights, n)
+    qdf = spark.createDataFrame(
+        sorted(quotas.items()), f"{group_col} string, __quota int"
+    )
+    h = h48_col(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.join(F.broadcast(qdf), group_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

@@ -344,3 +344,28 @@ def test_broadcast_centroids_production_cell_count(spark):
     assert {r.query_id for r in out} == {0, 1, 2, 3}
     for r in out:
         assert 1 <= r.rnk <= 5 and -1.0001 <= r.cos <= 1.0001
+
+
+def test_mixture_sample_quotas_and_shortfall(spark):
+    """Largest-remainder quotas sum exactly to n; per-group counts
+    match quotas; an undersized group contributes all it has WITHOUT
+    silently shifting the mix; the sample is rerun-stable."""
+    from edgar_crawler_spark.operators.sampling import mixture_quotas, mixture_sample
+
+    q = mixture_quotas({"a": 1, "b": 1, "c": 1}, 100)
+    assert sum(q.values()) == 100 and sorted(q.values()) == [33, 33, 34]
+    # deterministic remainder tie-break by group name
+    assert mixture_quotas({"a": 1, "b": 1, "c": 1}, 100) == q
+
+    rows = [(i, "web") for i in range(200)] + [(1000 + i, "code") for i in range(200)]
+    rows += [(2000 + i, "ref") for i in range(5)]  # undersized group
+    docs = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = mixture_sample(docs, "grp", {"web": 0.6, "code": 0.3, "ref": 0.1}, 100, "doc_id")
+    counts = {r.grp: r.n for r in out.groupBy("grp").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"web": 60, "code": 30, "ref": 5}  # shortfall visible, not shifted
+    again = mixture_sample(docs, "grp", {"web": 0.6, "code": 0.3, "ref": 0.1}, 100, "doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # groups outside the weight spec are excluded entirely
+    extra = docs.union(spark.createDataFrame([(9999, "junk")], "doc_id long, grp string"))
+    out2 = mixture_sample(extra, "grp", {"web": 0.6, "code": 0.3, "ref": 0.1}, 100, "doc_id")
+    assert out2.filter("grp = 'junk'").count() == 0
