@@ -280,10 +280,20 @@ def fetch_wave(
             if host not in buckets:
                 clk = VirtualClock() if virtual_clock else None
                 clocks[host] = clk
+                rate = rate_per_host
+                if gate is not None:
+                    # a declared Crawl-delay caps this host's rate
+                    # BELOW the crawler's own budget (polite minimum)
+                    d = gate.crawl_delay(host)
+                    if d and d > 0:
+                        rate = min(rate, 1.0 / d)
+                # sub-1 rates need capacity >= 1 token or acquire()
+                # can never be satisfied (default capacity == rate)
+                cap = max(rate, 1.0)
                 buckets[host] = (
-                    TokenBucket(rate_per_host, clock=clk, sleep=clk.sleep)
+                    TokenBucket(rate, capacity=cap, clock=clk, sleep=clk.sleep)
                     if clk
-                    else TokenBucket(rate_per_host)
+                    else TokenBucket(rate, capacity=cap)
                 )
             return buckets[host], clocks[host]
 

@@ -99,19 +99,23 @@ def is_throttled(body: str | bytes | None) -> bool:
 
 
 class RobotsGate:
-    """Minimal robots.txt allow/deny cache per host. The reference has
-    no robots handling (north_rule adds it); parser is stdlib-shaped:
-    only ``User-agent: *`` / ``Disallow:`` prefixes are honored."""
+    """Minimal robots.txt cache per host. The reference has no robots
+    handling (north_rule adds it); parser is stdlib-shaped:
+    ``User-agent: *`` / ``Disallow:`` prefixes plus ``Crawl-delay:``
+    (a declared per-request delay caps that host's token-bucket rate
+    below the crawler's own budget — the polite minimum of the two)."""
 
     def __init__(self, fetch_robots=None):
         # fetch_robots(host) -> robots.txt text or None
         self._fetch = fetch_robots or (lambda host: None)
         self._deny: dict[str, list[str]] = {}
+        self._delay: dict[str, float | None] = {}
 
     def _rules(self, host: str) -> list[str]:
         if host not in self._deny:
             txt = self._fetch(host)
             deny, active = [], False
+            delay = None
             for line in (txt or "").splitlines():
                 line = line.split("#", 1)[0].strip()
                 low = line.lower()
@@ -121,8 +125,18 @@ class RobotsGate:
                     path = line.split(":", 1)[1].strip()
                     if path:
                         deny.append(path)
+                elif active and low.startswith("crawl-delay:"):
+                    try:
+                        delay = float(line.split(":", 1)[1].strip())
+                    except ValueError:
+                        pass  # malformed delay: ignore, keep own budget
             self._deny[host] = deny
+            self._delay[host] = delay
         return self._deny[host]
 
     def allowed(self, host: str, path: str) -> bool:
         return not any(path.startswith(p) for p in self._rules(host))
+
+    def crawl_delay(self, host: str) -> float | None:
+        self._rules(host)  # populate cache
+        return self._delay.get(host)

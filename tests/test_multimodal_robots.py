@@ -163,3 +163,30 @@ def test_robots_gate_through_frontier(spark, tmp_path):
     assert (log[log.host != "host0.test"].state == "fetched").all()
     # blocked rows are terminal: resubmission admits nothing
     assert fr.submit(seed_index_df(spark, 40, n_hosts=4, hot_host=False)) == 0
+
+
+def test_robots_crawl_delay_caps_host_rate(spark):
+    """A declared Crawl-delay slows ONLY that host: with the virtual
+    clock, k queued rows at Crawl-delay d must wait >= (k - burst)·d
+    seconds, while hosts without a delay keep the crawler's own
+    budget."""
+    work = with_priority(
+        with_url_identity(seed_index_df(spark, 60, n_hosts=3, hot_host=False))
+        .withColumn("attempts_total", F.lit(0))
+    )
+
+    def robots(host):
+        # host0 demands 2 s between requests; others say nothing
+        return "User-agent: *\nCrawl-delay: 2\n" if host == "host0.test" else None
+
+    out = fetch_wave(work, robots_fetcher=robots, rate_per_host=10.0).toPandas()
+    assert (out.state == "fetched").all()
+    per_host = out.groupby("host").agg(n=("wait_s", "size"), waited=("wait_s", "sum"))
+    slow = per_host.loc["host0.test"]
+    # TokenBucket(0.5/s): k rows need >= (k - burst) * 2 s of waiting
+    assert slow["waited"] >= (slow["n"] - 10) * 2 * 0.99
+    for host, row in per_host.iterrows():
+        if host == "host0.test":
+            continue
+        # un-delayed hosts stay on the 10 req/s budget (far less waiting)
+        assert row["waited"] <= (row["n"] / 10.0) * 1.5
