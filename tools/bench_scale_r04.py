@@ -229,8 +229,96 @@ def main():
         print(json.dumps(kmeans(int(sys.argv[2]))))
     elif mode == "assign":
         print(json.dumps(assign(int(sys.argv[2]))))
+    elif mode == "ivf-index":
+        print(json.dumps(ivf_index(int(sys.argv[2]))))
     else:
         raise SystemExit(f"unknown mode {mode}")
+
+
+
+
+
+def ivf_index(cpus: int) -> dict:
+    """Persisted-IVF-index shape at 1M vectors, n_cells=1024,
+    n_buckets=64: ingest in 4 batches, then serve a 10-query batch and
+    report the planned-bytes pruning ratio."""
+    import glob
+    import os as _os
+
+    from edgar_crawler_spark.operators.similarity import (
+        IncrementalIVFIndex,
+        ivf_centroids,
+    )
+
+    spark = get_spark(
+        app_name=f"ivfidx-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    copies = 512
+    big = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("c"),
+        )
+        .select(
+            (F.col("vec_id") + F.col("c") * 100_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.col("c").cast("double") * F.lit(1e-4)
+            ).alias("embedding"),
+        )
+        .repartition(cpus * 2)
+        .localCheckpoint()
+    )
+    n = big.count()
+    cents = [[float(x) for x in c] for c in ivf_centroids(1024, 64)]
+    path = tempfile.mkdtemp() + "/ivf"
+    idx = IncrementalIVFIndex(spark, path, cents=cents, n_buckets=64)
+    t0 = time.time()
+    for i in range(4):
+        idx.add(big.filter(F.col("vec_id") % 4 == i))
+    ingest_wall = time.time() - t0
+    queries = big.filter(F.col("vec_id") < 10)
+    idx.topk(queries, k=5, nprobe=4).count()  # warm
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        idx.topk(queries, k=5, nprobe=4).count()
+        walls.append(time.time() - t0)
+
+    def tree_bytes(dirs):
+        return sum(
+            _os.path.getsize(f)
+            for d in dirs
+            for f in glob.glob(_os.path.join(d, "*.parquet"))
+        )
+
+    probes = idx.vectors
+    all_leafs = {
+        _os.path.dirname(f) for f in glob.glob(path + "/vectors/data/*/kb=*/*.parquet")
+    }
+    # touched partitions for this query batch (recompute like topk does)
+    from edgar_crawler_spark.operators.similarity import assign_cells_broadcast
+
+    cells = sorted(
+        int(r.c)
+        for r in assign_cells_broadcast(queries, cents, nprobe=4)
+        .select(F.explode("cells").alias("c"))
+        .distinct()
+        .collect()
+    )
+    touched = probes.pruned_paths("kb", sorted({c % 64 for c in cells}))
+    ratio = round(tree_bytes(touched) / max(1, tree_bytes(all_leafs)), 3)
+    spark.stop()
+    return {
+        "metric": "ivf_index_1m",
+        "cpus": cpus,
+        "n_rows": n,
+        "ingest_wall_s": round(ingest_wall, 2),
+        "ingest_rows_per_s": round(n / ingest_wall, 1),
+        "serve_wall_s_median": round(sorted(walls)[1], 2),
+        "planned_bytes_ratio": ratio,
+    }
 
 
 if __name__ == "__main__":
