@@ -1136,6 +1136,48 @@ WHERE rn <= 5
 """
 
 
+def q_text_scrub_pii(spark, sf):
+    """PII redaction (operators/text.py:scrub_pii) over a derived
+    corpus with deterministically injected PII (both engines run the
+    same literal replace first): emails → <EMAIL>, IPv4 → <IP>,
+    phone-shaped runs → <PHONE>, plus per-doc hit counts."""
+    from edgar_crawler_spark.operators.text import scrub_pii
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            "replace(replace(text, ' scan ', ' bob.lee+x@mail.example.com '),"
+            "' join ', ' 10.42.0.7 or +1 (415) 555-0100 ')"
+        ).alias("text"),
+    )
+    return scrub_pii(docs)
+
+
+def _scrub_sql() -> str:
+    from edgar_crawler_spark.operators.text import PII_PATTERNS
+
+    src = (
+        "SELECT doc_id, replace(replace(text, ' scan ', "
+        "' bob.lee+x@mail.example.com '), ' join ', "
+        "' 10.42.0.7 or +1 (415) 555-0100 ') AS text FROM documents"
+    )
+    cur = "text"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(string_split_regex({cur}, '{pat_sql}')) - 1 AS BIGINT) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat_sql}', '{repl}', 'g')"
+    return f"""
+WITH src AS ({src})
+SELECT doc_id, {cur} AS text, {", ".join(counts)} FROM src
+"""
+
+
+SQL_TEXT_SCRUB_PII = _scrub_sql()
+
+
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.2, "zh": 0.1}
 _MIX_N = 100
 
@@ -1963,6 +2005,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audio_wav_features": (q_audio_features, None),
     "text_line_dedup": (q_text_line_dedup, SQL_TEXT_LINE_DEDUP),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
+    "text_scrub_pii": (q_text_scrub_pii, SQL_TEXT_SCRUB_PII),
     "s2_date_guard": (q_s2_date_guard, SQL_S2),
     "s4_index_parse": (q_s4_index_parse, SQL_S4_INDEX_PARSE),
     "p1_url_prefix": (q_p1_url_prefix, SQL_P1),

@@ -288,3 +288,37 @@ def line_dedup(
         .join(rebuilt, id_col, "left")
         .select(id_col, F.coalesce(F.col("__kept_text"), F.lit("")).alias("text"))
     )
+
+
+#: PII patterns written in the common RE2/Java-regex subset (no
+#: backrefs, no lookaround) so Spark (Java regex) and the DuckDB
+#: oracle (RE2) match byte-for-byte.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: emails, IPv4 addresses and
+    phone-shaped digit runs are replaced by typed placeholder tokens,
+    and per-document hit counts are reported (the audit trail a
+    compliance pass needs).  Pure JVM ``regexp_replace`` chain —
+    whole-stage codegen, no UDF, pushdown-friendly; patterns restricted
+    to the RE2/Java common subset so the SQL oracle is exact.  Order
+    matters and is fixed: emails first (an address contains dots that
+    the IP pattern must not see), then IPs, then phones."""
+    out = docs
+    counts = []
+    cur = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            (F.size(F.split(cur, pat, -1)) - 1).cast("long").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.select(
+        *[c for c in docs.columns if c != text_col],
+        cur.alias(text_col),
+        *counts,
+    )

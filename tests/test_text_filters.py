@@ -117,3 +117,29 @@ def test_line_dedup_removes_global_boilerplate(spark):
     # max_df high enough -> nothing removed
     untouched = {r.doc_id: r.text for r in line_dedup(docs, max_df=10).collect()}
     assert untouched == {i: t for i, t in rows}
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from edgar_crawler_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.org today"),
+        (2, "server 192.168.001.004 and 10.0.0.1 are up"),
+        (3, "call +1 (415) 555-0100 or 0800 123 4567 now"),
+        (4, "no pii here at all"),
+        (5, "mixed: bob@x.io from 127.0.0.1 dialing 415-555-0100"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(docs).collect()}
+
+    assert out[1].text == "mail me at <EMAIL> today"
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 0, 0)
+    assert out[2].text == "server <IP> and <IP> are up"
+    assert out[2].n_ipv4 == 2
+    assert out[3].text == "call <PHONE> or <PHONE> now"
+    assert out[3].n_phone == 2
+    assert out[4].text == "no pii here at all" and out[4].n_email == 0
+    # ordering: the email's dots never get mis-read as an IP, and the
+    # remaining digits redact per-type
+    assert out[5].text == "mixed: <EMAIL> from <IP> dialing <PHONE>"
+    assert (out[5].n_email, out[5].n_ipv4, out[5].n_phone) == (1, 1, 1)
