@@ -1136,6 +1136,33 @@ WHERE rn <= 5
 """
 
 
+def q_text_pack_sequences(spark, sf):
+    """Sequence packing (operators/text.py:pack_sequences): documents
+    hash-sharded into 8 parallel packing streams, binned at a
+    2,048-token budget by the exclusive running token sum."""
+    from edgar_crawler_spark.operators.text import pack_sequences
+
+    return pack_sequences(t(spark, sf, "documents"), max_tokens=2048, n_shards=8)
+
+
+SQL_TEXT_PACK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         CAST({h48_sql("CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard,
+         {h48_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents),
+runs AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY h ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM toks)
+SELECT doc_id, shard, CAST(FLOOR(before / 2048) AS INT) AS bin, n_tokens FROM runs
+"""
+
+
 def q_text_scrub_pii(spark, sf):
     """PII redaction (operators/text.py:scrub_pii) over a derived
     corpus with deterministically injected PII (both engines run the
@@ -2006,6 +2033,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_line_dedup": (q_text_line_dedup, SQL_TEXT_LINE_DEDUP),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "text_scrub_pii": (q_text_scrub_pii, SQL_TEXT_SCRUB_PII),
+    "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK),
     "s2_date_guard": (q_s2_date_guard, SQL_S2),
     "s4_index_parse": (q_s4_index_parse, SQL_S4_INDEX_PARSE),
     "p1_url_prefix": (q_p1_url_prefix, SQL_P1),

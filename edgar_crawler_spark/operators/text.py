@@ -322,3 +322,46 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         cur.alias(text_col),
         *counts,
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-example PACKING: assign documents to capacity-bounded
+    bins (the step that turns a curated corpus into fixed-budget
+    training sequences). Docs are hash-sharded (``n_shards`` parallel
+    packing streams — the scale knob: each shard's running sum is an
+    independent window, so packing parallelism is explicit, not a
+    single global total order), ordered deterministically by hash
+    within their shard, and binned by the exclusive running token sum:
+    ``bin = floor(cumsum_before / max_tokens)``.  Capacity-approximate
+    by design: a bin may overflow by less than one document (the
+    standard greedy packer; the trainer truncates or wraps the tail).
+    A document longer than ``max_tokens`` occupies its own bin(s).
+    Returns (id_col, shard, bin, n_tokens) — deterministic and
+    rerun-stable."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    n_tok = F.size(F.filter(F.split(t, " "), lambda x: x != "")).cast("long")
+    h = h48_col(F.col(id_col).cast("string"))
+    shard = F.pmod(h, F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(id_col, n_tok.alias("n_tokens"), shard.alias("shard"), h.alias("__h"))
+        .withColumn("__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            id_col,
+            "shard",
+            F.floor(F.col("__before") / max_tokens).cast("int").alias("bin"),
+            "n_tokens",
+        )
+    )

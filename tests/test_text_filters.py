@@ -143,3 +143,37 @@ def test_scrub_pii_redacts_and_counts(spark):
     # remaining digits redact per-type
     assert out[5].text == "mixed: <EMAIL> from <IP> dialing <PHONE>"
     assert (out[5].n_email, out[5].n_ipv4, out[5].n_phone) == (1, 1, 1)
+
+
+def test_pack_sequences_capacity_and_determinism(spark):
+    """Bins respect the budget up to the documented less-than-one-doc
+    overflow; every doc is assigned exactly once; bins are contiguous
+    per shard; reruns are identical."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.operators.text import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(10 + (i * 37) % 90))) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 500
+    out = pack_sequences(docs, max_tokens=cap, n_shards=4).toPandas()
+    assert len(out) == 400 and out.doc_id.is_unique
+
+    for (shard, b), grp in out.groupby(["shard", "bin"]):
+        total = grp.n_tokens.sum()
+        # exclusive-cumsum rule: the bin held < cap before its last doc
+        assert total - grp.n_tokens.max() < cap
+        # overflow bounded by one document
+        assert total < cap + grp.n_tokens.max()
+    # bins contiguous from 0 within each shard
+    for shard, grp in out.groupby("shard"):
+        bins = sorted(grp.bin.unique())
+        assert bins == list(range(len(bins)))
+
+    again = pack_sequences(docs, max_tokens=cap, n_shards=4).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(map(tuple, again.values.tolist()))
+
+    # an oversized doc still lands in (its own) bin exactly once
+    big = spark.createDataFrame([(999, " ".join("x" for _ in range(3 * cap)))], "doc_id long, text string")
+    out2 = pack_sequences(docs.union(big), max_tokens=cap, n_shards=4)
+    assert out2.filter(F.col("doc_id") == 999).count() == 1
