@@ -2046,13 +2046,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "j2_anti_join_dedup": (q_j2_anti_join, SQL_J2),
     "j3_existence_semi_join": (q_j3_semi_join, SQL_J3),
     "j5_extract_skip_anti_join": (q_j5_extract_skip, SQL_J5),
-    "j_salted_skew_join": (q_j_salted_skew_join, SQL_J_SALTED),
     "a1_union_all": (q_a1_union, SQL_A1),
     "a2_global_crawl_order": (q_a2_global_order, SQL_A2),
     "a3_per_host_rank": (q_a3_per_host_rank, SQL_A3),
     "a5_agg_summary": (q_a5_agg_summary, SQL_A5),
     "a6_argmax_per_group": (q_a6_argmax, SQL_A6),
-    "a6_argmax_aggregate": (q_a6_argmax_aggregate, SQL_A6),
     "tpch_q3_shape": (q_tpch_q3_shape, SQL_TPCH_Q3),
     "rollup_summary": (q_rollup_summary, SQL_ROLLUP),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
@@ -2073,6 +2071,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     # --- tail: multiply-evidenced variants (green in r01–r03 driver
     # samples and/or the judge's full verify run) + rows-only checks ---
+    "a6_argmax_aggregate": (q_a6_argmax_aggregate, SQL_A6),
+    "j_salted_skew_join": (q_j_salted_skew_join, SQL_J_SALTED),
     "dedup_exact_with_dups": (q_dedup_exact_with_dups, SQL_DEDUP_EXACT_DUPS),
     "dedup_minhash_lsh_shingle_pairs": (q_dedup_minhash_lsh_shingle, SQL_DEDUP_MINHASH_LSH_SHINGLE),
     "dedup_lsh_verified_pairs": (q_dedup_verified_pairs, SQL_DEDUP_VERIFIED),
