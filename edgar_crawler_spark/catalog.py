@@ -983,6 +983,97 @@ def q_pipeline_prep_corpus(spark, sf):
     )
 
 
+_V3_MIX = {"en": 0.5, "de": 0.2, "fr": 0.2, "zh": 0.1}
+_V3_N = 60
+_V3_MIN_TOKENS = 30
+_V3_PACK = 1024
+
+
+def q_pipeline_prep_corpus_v3(spark, sf):
+    """The round-4 corpus-prep capstone, chaining THIS round's new
+    operators end-to-end: PII scrubbing (over the deterministically
+    PII-injected corpus) → token-count quality gate → exact dedup
+    (min-doc representative per content hash) → weighted training-mix
+    sample → sequence packing. Every stage is an individually
+    oracle-checked operator; the composite has its own full CTE
+    mirror. Output: (doc_id, lang, shard, bin, n_tokens)."""
+    from edgar_crawler_spark.operators.dedup import exact_dedup
+    from edgar_crawler_spark.operators.sampling import mixture_sample
+    from edgar_crawler_spark.operators.text import pack_sequences, scrub_pii
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "replace(replace(text, ' scan ', ' bob.lee+x@mail.example.com '),"
+            "' join ', ' 10.42.0.7 or +1 (415) 555-0100 ')"
+        ).alias("text"),
+    )
+    scrubbed = scrub_pii(docs).select("doc_id", "lang", "text")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    gated = scrubbed.filter(n_tok >= _V3_MIN_TOKENS)
+    reps = gated.join(
+        exact_dedup(gated).select("doc_id"), "doc_id", "left_semi"
+    )
+    mixed = mixture_sample(reps, "lang", _V3_MIX, _V3_N, "doc_id")
+    packed = pack_sequences(mixed, max_tokens=_V3_PACK, n_shards=4)
+    return packed.join(
+        mixed.select("doc_id", "lang").hint("shuffle_hash"), "doc_id"
+    ).select("doc_id", "lang", "shard", "bin", "n_tokens")
+
+
+def _v3_sql() -> str:
+    from edgar_crawler_spark.operators.sampling import mixture_quotas
+    from edgar_crawler_spark.operators.text import PII_PATTERNS
+
+    cur = "text"
+    for _name, pat, repl in PII_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        cur = f"regexp_replace({cur}, '{pat_sql}', '{repl}', 'g')"
+    quotas = mixture_quotas(_V3_MIX, _V3_N)
+    qrows = ", ".join(f"('{g}', {q})" for g, q in sorted(quotas.items()))
+    h = h48_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH src AS (
+  SELECT doc_id, lang,
+         replace(replace(text, ' scan ', ' bob.lee+x@mail.example.com '),
+                 ' join ', ' 10.42.0.7 or +1 (415) 555-0100 ') AS text
+  FROM documents),
+scrubbed AS (SELECT doc_id, lang, {cur} AS text FROM src),
+gated AS (
+  SELECT * FROM scrubbed
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= {_V3_MIN_TOKENS}),
+reps AS (
+  SELECT g.* FROM gated g
+  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)) m
+    ON g.doc_id = m.doc_id),
+q(lang, quota) AS (VALUES {qrows}),
+mixed AS (
+  SELECT doc_id, lang FROM (
+    SELECT r.doc_id, r.lang, q.quota, ROW_NUMBER() OVER (
+      PARTITION BY r.lang ORDER BY {h} ASC, doc_id ASC) AS rn
+    FROM reps r JOIN q USING (lang))
+  WHERE rn <= quota),
+toks AS (
+  SELECT m.doc_id, m.lang,
+         CAST(len(list_filter(string_split(s.text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         CAST({h} % 4 AS INT) AS shard, {h} AS hh
+  FROM mixed m JOIN scrubbed s USING (doc_id)),
+runs AS (
+  SELECT doc_id, lang, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY hh ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM toks)
+SELECT doc_id, lang, shard, CAST(FLOOR(before / {_V3_PACK}) AS INT) AS bin, n_tokens
+FROM runs
+"""
+
+
+SQL_PIPELINE_PREP_V3 = _v3_sql()
+
+
 def q_pipeline_prep_corpus_v2(spark, sf):
     """The round-3 corpus-prep flagship: repetition gate (Gopher
     dup-2-gram ratio) + benchmark decontamination (3-gram overlap vs
@@ -2034,6 +2125,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "text_scrub_pii": (q_text_scrub_pii, SQL_TEXT_SCRUB_PII),
     "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK),
+    "pipeline_prep_corpus_v3": (q_pipeline_prep_corpus_v3, SQL_PIPELINE_PREP_V3),
     "s2_date_guard": (q_s2_date_guard, SQL_S2),
     "s4_index_parse": (q_s4_index_parse, SQL_S4_INDEX_PARSE),
     "p1_url_prefix": (q_p1_url_prefix, SQL_P1),
