@@ -132,6 +132,15 @@ def main() -> None:
         "pruned candidates-only pass",
     )
     ap.add_argument(
+        "--compact-lsh-index",
+        type=int,
+        default=0,
+        metavar="N",
+        help="after the --caption-dedup pass, fold the caption LSH "
+        "index's per-batch commits into one data dir whenever it has "
+        "accumulated >= N commits (layout-preserving; 0 = never)",
+    )
+    ap.add_argument(
         "--drop-near-dups",
         action="store_true",
         help="table-native extract only: skip near-dup cluster members "
@@ -404,6 +413,21 @@ def main() -> None:
         report["near_dup_pairs"] = 0 if pairs is None else pairs.count()
         if runlog:
             runlog.info("near-dup pass: %d pairs", report["near_dup_pairs"])
+        if args.compact_lsh_index:
+            import os as _os
+
+            from edgar_crawler_spark.operators.dedup import IncrementalLSHIndex
+
+            idx = IncrementalLSHIndex(
+                spark,
+                _os.path.join(args.workdir, "caption_lsh"),
+                min_sim=None if ms is not None and ms < 0 else ms,
+                n_buckets=args.lsh_buckets,
+            )
+            n_dirs = len(idx.table.latest_manifest()["files"])
+            if n_dirs >= args.compact_lsh_index:
+                idx.compact()
+                report["lsh_index_compacted_dirs"] = n_dirs
 
     print(json.dumps({"admitted": admitted, "waves": waves, **report}))
 
