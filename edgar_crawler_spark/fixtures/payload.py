@@ -121,3 +121,45 @@ def audio_df(spark: SparkSession, n: int = 64) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return spark.range(n).repartition(8).mapInPandas(gen, "media_id string, bytes binary")
+
+
+def make_video_frames(i: int) -> "np.ndarray":
+    """Pure row-id → (n_frames, h, w, 3) uint8 frames. Shared by the
+    Spark generator and the tests' reference oracle (same contract as
+    :func:`make_payload_row`). Widths include non-multiple-of-4 strides
+    so DIB scanline padding is exercised."""
+    rng = np.random.default_rng(7000 + i)
+    n_frames = 4 + i % 5
+    w = 10 + (i % 3) * 2  # 10/12/14 px → stride padding on 10 & 14
+    h = 8 + (i % 4) * 2
+    return rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+
+
+def video_df(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic synthetic video corpus: uncompressed RGB24 AVI
+    clips whose frames are a pure function of the row id. Every 13th
+    blob is poisoned (truncated RIFF) and every 11th is patched to a
+    compressed fourcc (MJPG) — exercising both recorded-error paths of
+    :func:`~edgar_crawler_spark.operators.multimodal.sample_video_frames`."""
+
+    def gen(batches):
+        from edgar_crawler_spark.functions.imaging import encode_avi_rgb
+
+        for pdf in batches:
+            rows = {"media_id": [], "bytes": []}
+            for i in pdf["id"]:
+                i = int(i)
+                rows["media_id"].append(f"vid{i:05d}")
+                if i % 13 == 5:
+                    rows["bytes"].append(b"RIFF\x10\x00\x00\x00AVI truncated")
+                    continue
+                data = encode_avi_rgb(make_video_frames(i), fps=24)
+                if i % 11 == 3:  # byte-surgery: claim a compressed codec
+                    data = bytearray(data)
+                    at = bytes(data).find(b"strf")
+                    data[at + 8 + 16 : at + 8 + 20] = b"MJPG"
+                    data = bytes(data)
+                rows["bytes"].append(data)
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).repartition(8).mapInPandas(gen, "media_id string, bytes binary")

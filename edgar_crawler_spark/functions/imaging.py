@@ -145,6 +145,130 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+# --------------------------------------------------------------------------
+# AVI (RIFF) video container — uncompressed RGB24 (BI_RGB) streams.
+#
+# Like the WAV kernel, this needs NO codec library: BI_RGB frames are raw
+# DIB bitmaps (bottom-up rows, BGR byte order, scanlines padded to 4-byte
+# stride) inside standard RIFF chunks, all parseable with struct + numpy.
+# The writer emits spec-compliant files (hdrl/avih + strl/strh+strf +
+# movi/00db + idx1) that any AVI reader opens; the reader raises
+# NotImplementedError for COMPRESSED streams (biCompression != 0) — those
+# genuinely need ffmpeg/pyav, and sample_video_frames records that per row.
+# --------------------------------------------------------------------------
+
+
+def _le_chunk(tag: bytes, payload: bytes) -> bytes:
+    """RIFF chunk: little-endian size + even-byte padding."""
+    pad = b"\x00" if len(payload) % 2 else b""
+    return tag + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _le_list(kind: bytes, payload: bytes) -> bytes:
+    return _le_chunk(b"LIST", kind + payload)
+
+
+def encode_avi_rgb(frames: np.ndarray, fps: int = 30) -> bytes:
+    """(n, h, w, 3) uint8 RGB → uncompressed AVI bytes (fourcc 'DIB ',
+    biCompression=BI_RGB, bottom-up BGR scanlines, 4-byte stride)."""
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    def dib(frame: np.ndarray) -> bytes:
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+        return rows.tobytes()
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIihhhh",
+        # fccType fccHandler flags prio lang init scale rate start length
+        # sugBufSize quality sampleSize rcFrame(l,t,r,b)
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    hdrl = _le_list(
+        b"hdrl",
+        _le_chunk(b"avih", avih)
+        + _le_list(b"strl", _le_chunk(b"strh", strh) + _le_chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(_le_chunk(b"00db", dib(f)) for f in frames)
+    movi = _le_list(b"movi", movi_payload)
+    # idx1: one entry per frame, offsets relative to the 'movi' fourcc
+    idx_entries, off = [], 4
+    for _ in range(n):
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, frame_bytes))
+        off += 8 + frame_bytes + (frame_bytes % 2)
+    idx1 = _le_chunk(b"idx1", b"".join(idx_entries))
+    return _le_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def decode_avi_rgb(data: bytes) -> tuple[float, np.ndarray]:
+    """AVI bytes → (fps, (n, h, w, 3) uint8 RGB frames). Handles the
+    BI_RGB 24-bit streams :func:`encode_avi_rgb` writes (and any other
+    writer's uncompressed-DIB video). Compressed streams raise
+    NotImplementedError naming the codec — that path needs ffmpeg."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI/RIFF container")
+
+    w = h = None
+    rate, scale = 0, 1
+    compression = bitcount = None
+    frame_chunks: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal w, h, rate, scale, compression, bitcount
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_end = min(pos + 8 + size, end)
+            if tag == b"LIST":
+                walk(buf, pos + 12, body_end)
+            elif tag == b"avih":
+                fields = struct.unpack("<14I", buf[pos + 8 : pos + 8 + 56])
+                w, h = fields[8], fields[9]
+            elif tag == b"strh" and buf[pos + 8 : pos + 12] == b"vids":
+                scale, rate = struct.unpack("<II", buf[pos + 28 : pos + 36])
+            elif tag == b"strf" and compression is None:
+                _, bw, bh, _, bitcount, compression = struct.unpack(
+                    "<IiiHHI", buf[pos + 8 : pos + 28]
+                )
+                w, h = abs(bw), abs(bh)
+            elif tag[2:4] in (b"db", b"dc") and tag[:2].isdigit():
+                frame_chunks.append(buf[pos + 8 : body_end])
+            pos = pos + 8 + size + (size % 2)
+
+    walk(data, 12, len(data))
+    if compression not in (0, None):
+        fourcc = struct.pack("<I", compression)
+        raise NotImplementedError(
+            f"compressed AVI stream {fourcc!r} requires ffmpeg/pyav (absent here)"
+        )
+    if not frame_chunks or not w or not h:
+        raise ValueError("no decodable video frames in AVI")
+    if bitcount not in (24, None):
+        raise NotImplementedError(f"only 24-bit DIB supported, got {bitcount}")
+    stride = (w * 3 + 3) & ~3
+    frames = np.empty((len(frame_chunks), h, w, 3), np.uint8)
+    for i, chunk in enumerate(frame_chunks):
+        if len(chunk) < stride * h:
+            raise ValueError(f"frame {i} truncated: {len(chunk)} < {stride * h}")
+        rows = np.frombuffer(chunk[: stride * h], np.uint8).reshape(h, stride)
+        frames[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # top-down, RGB
+    fps = (rate / scale) if scale else 0.0
+    return fps, frames
+
+
 def average_hash(pixels: np.ndarray) -> int:
     """64-bit average-hash (aHash): grayscale → 8×8 block means →
     bit = mean(block) > mean(all). Signed int64 for a LongType column."""

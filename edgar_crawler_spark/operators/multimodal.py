@@ -6,13 +6,13 @@ Real here (no image libs needed): PNG/stand-in-lossy decode
 nearest-neighbour resize (pure numpy indexing).
 
 Also real: WAV/RIFF audio feature extraction (stdlib ``wave`` +
-numpy — no codec library needed; see :func:`extract_audio_features`).
+numpy) and uncompressed-AVI video frame sampling (RIFF + BI_RGB DIB
+parse, functions/imaging.py) — neither needs a codec library.
 
-STUBBED (container lacks codec libs — plumbing is real, kernel raises):
-JPEG decode for foreign containers and video frame sampling. Each stub
-validates schema and batch shape, then raises NotImplementedError with
-the library it needs — swap the kernel on a cluster with PIL/ffmpeg
-present.
+STUBBED (container lacks codec libs — plumbing is real, the error is
+recorded per row): JPEG decode for foreign containers and compressed
+video streams (MJPEG/H.264 fourccs) — swap the kernel on a cluster
+with PIL/ffmpeg present.
 """
 
 from __future__ import annotations
@@ -113,31 +113,81 @@ def resize_images(df: DataFrame, w: int, h: int, bytes_col: str = "bytes") -> Da
     return df.mapInPandas(run, out_schema)
 
 
-# --------------------------------------------------------------------------
-# stubs: schema/batch plumbing real, kernels need external codecs
-# --------------------------------------------------------------------------
-
 FRAME_SAMPLE_SCHEMA = StructType(
     [
         StructField("media_id", StringType()),
         StructField("frame_idx", IntegerType()),
         StructField("frame_png", BinaryType()),
+        StructField("frame_phash", LongType()),
+        StructField("fps", DoubleType()),
+        StructField("n_frames", IntegerType()),
+        StructField("decode_ok", StringType()),  # ok | <error class>
     ]
 )
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 30, bytes_col: str = "bytes") -> DataFrame:
-    """STUB: video → every-Nth-frame PNGs. Partitioning and output
-    schema are the real design; the decode kernel needs ffmpeg/pyav."""
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    bytes_col: str = "bytes",
+    id_col: str = "media_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Video → every-Nth-frame PNG rows (frame 0 always included), one
+    output row per sampled frame plus the frame's aHash for downstream
+    phash near-dup passes.
+
+    REAL kernel for uncompressed AVI (RIFF + BI_RGB DIB frames — the
+    codec-free video container, same trick as the WAV audio kernel):
+    functions/imaging.py parses the RIFF tree with struct + numpy and
+    this stage explodes frames through ``mapInPandas``.  Streams that
+    genuinely need a codec (MJPEG/H.264/... fourccs) record
+    ``NotImplementedError`` per row — swap the decode call for
+    ffmpeg/pyav on a cluster that has them.  Corrupt blobs record their
+    error class and never throw (a poisoned blob must not kill a
+    100 TB job); failed rows emit ONE row with frame_idx = -1 so the
+    failure is visible in the output, not silently dropped.
+
+    Cardinality changes (1 → n_frames/every_n), so only the id column
+    passes through; join any other metadata back on ``media_id``.
+    Explicit repartition pins parallelism for the CPU-bound stage (AQE
+    byte-size coalescing exemption)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(num_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from edgar_crawler_spark.functions.imaging import (
+            average_hash,
+            decode_avi_rgb,
+            encode_png,
+        )
+
+        cols = [f.name for f in FRAME_SAMPLE_SCHEMA.fields]
         for pdf in batches:
-            if len(pdf):
-                raise NotImplementedError(
-                    "video decode requires ffmpeg/pyav (absent in this container); "
-                    f"would emit one row per {every_n}th frame of {bytes_col}"
-                )
-            yield pd.DataFrame(columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
+            out = {c: [] for c in cols}
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    fps, frames = decode_avi_rgb(bytes(data))
+                    for idx in range(0, len(frames), every_n):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["frame_png"].append(encode_png(frames[idx]))
+                        out["frame_phash"].append(average_hash(frames[idx]))
+                        out["fps"].append(float(fps))
+                        out["n_frames"].append(len(frames))
+                        out["decode_ok"].append("ok")
+                except Exception as e:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(-1)
+                    out["frame_png"].append(None)
+                    out["frame_phash"].append(None)
+                    out["fps"].append(None)
+                    out["n_frames"].append(None)
+                    out["decode_ok"].append(type(e).__name__)
+            yield pd.DataFrame({c: pd.Series(out[c], dtype=object) for c in cols})
 
     return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 

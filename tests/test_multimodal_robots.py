@@ -47,13 +47,42 @@ def test_resize_images_real_kernel(spark):
         assert px.shape == (8, 8, 3)
 
 
-def test_video_stub_raises_with_real_plumbing(spark):
-    df = payload_df(spark, 3)
-    stub = sample_video_frames(df)
-    # schema is real
-    assert len(stub.schema.fields) >= 2
-    with pytest.raises(Exception, match="NotImplementedError|requires"):
-        stub.collect()
+def test_video_frame_sample_real_kernel(spark):
+    """Uncompressed-AVI frame sampling: every-Nth indices, lossless
+    pixel parity vs the fixture's reference frames, recorded (not
+    thrown) errors for poisoned and compressed blobs."""
+    from edgar_crawler_spark.fixtures.payload import make_video_frames, video_df
+
+    out = sample_video_frames(video_df(spark, 30), every_n=2).toPandas()
+    ok = out[out.decode_ok == "ok"]
+    assert len(ok) > 0
+    # every clean clip emits ceil(n_frames / 2) rows at even indices
+    for mid, grp in ok.groupby("media_id"):
+        i = int(mid[3:])
+        ref = make_video_frames(i)
+        assert sorted(grp.frame_idx) == list(range(0, len(ref), 2))
+        assert (grp.n_frames == len(ref)).all() and (grp.fps == 24.0).all()
+        # exact pixel parity through AVI → sample → PNG (both lossless)
+        r = grp[grp.frame_idx == 2].iloc[0]
+        assert (decode_image(bytes(r.frame_png)) == ref[2]).all()
+        assert r.frame_phash is not None
+    # poisoned (i % 13 == 5) and compressed (i % 11 == 3) rows recorded
+    bad = out[out.decode_ok != "ok"].set_index("media_id").decode_ok
+    assert bad.loc["vid00005"] == "ValueError"
+    assert bad.loc["vid00003"] == "NotImplementedError"
+    assert (out[out.decode_ok != "ok"].frame_idx == -1).all()
+    # failed rows appear exactly once, never silently dropped
+    assert out.media_id.nunique() == 30
+
+
+def test_video_every_n_one_is_all_frames(spark):
+    from edgar_crawler_spark.fixtures.payload import make_video_frames, video_df
+
+    out = sample_video_frames(video_df(spark, 4), every_n=1).toPandas()
+    grp = out[out.media_id == "vid00000"]
+    assert sorted(grp.frame_idx) == list(range(len(make_video_frames(0))))
+    with pytest.raises(ValueError, match="every_n"):
+        sample_video_frames(video_df(spark, 4), every_n=0)
 
 
 def _wav_bytes(freq=440.0, rate=8000, seconds=0.5, amp=0.5, n_channels=1, width=2):
