@@ -211,7 +211,21 @@ class IncrementalLSHIndex:
     The bucket count is stamped into every commit's metrics and
     guarded on reopen (a mismatched reopen would silently prune the
     wrong directories — same failure class as the bloom shard-count
-    drift guard).  0 = legacy unpartitioned layout."""
+    drift guard).  0 = legacy unpartitioned layout.
+
+    ``min_sim`` + ``n_buckets`` additionally maintains a TWIN copy of
+    the band rows under ``<path>/_bydoc``, hive-partitioned by
+    ``db = pmod(xxhash64(doc_id), n_buckets)``: the dispose leg needs
+    every band row of the candidate-member docs (non-matching bands
+    count against the agreeing-seed estimate), and those rows scatter
+    across ALL kb partitions — a doc-hash layout puts each doc's rows
+    in exactly one partition, so the dispose read prunes to the
+    members' partitions instead of scanning the whole index.  Storage
+    doubles (still k integers per doc — nothing next to the text); the
+    twin commit is stamped with the main-table version it mirrors, and
+    a reopen whose stamps disagree (crash between the two appends, or
+    enabling ``min_sim`` on a pre-twin table) rebuilds the twin from
+    the main table — self-healing, no rollback protocol."""
 
     def __init__(
         self,
@@ -233,6 +247,7 @@ class IncrementalLSHIndex:
         self.min_sim = min_sim
         self.n_buckets = int(n_buckets)
         self.last_scan_dirs: list[str] | None = None  # pruning observability
+        self.last_dispose_dirs: list[str] | None = None
         if self.table.current_version():
             stamped = int(self.table.latest_metrics().get("n_buckets", 0))
             if stamped != self.n_buckets:
@@ -241,9 +256,33 @@ class IncrementalLSHIndex:
                     f"but reopened with n_buckets={self.n_buckets} — a mismatched "
                     "layout would prune the wrong partitions"
                 )
+        self.bydoc = None
+        if self.n_buckets and self.min_sim is not None:
+            import os
+
+            from edgar_crawler_spark.frontier.state import SnapshotTable
+
+            self.bydoc = SnapshotTable(os.path.join(path, "_bydoc"))
+            main_v = self.table.current_version()
+            mirrored = int(self.bydoc.latest_metrics().get("main_version", -1))
+            if main_v and mirrored != main_v:
+                # twin behind (crash between the two appends, or min_sim
+                # newly enabled on an existing table): rebuild it from
+                # the main table — a one-time full scan, then in sync
+                full = self.table.read_flat(self.spark)
+                self.bydoc.overwrite(
+                    full.withColumn("db", self._db_col()).repartition(
+                        self.n_buckets, "db"
+                    ),
+                    metrics={"main_version": main_v, "n_buckets": self.n_buckets},
+                    partition_by=["db"],
+                )
 
     def _kb_col(self):
         return F.pmod(F.xxhash64("band", "band_key"), F.lit(self.n_buckets)).cast("int")
+
+    def _db_col(self):
+        return F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int")
 
     def compact(self) -> int:
         """Fold the accumulated per-batch commits into one data dir —
@@ -259,11 +298,22 @@ class IncrementalLSHIndex:
         if df is None:
             return self.table.current_version()
         rows = df.withColumn("kb", self._kb_col()).repartition(self.n_buckets, "kb")
-        return self.table.overwrite(
+        v = self.table.overwrite(
             rows,
             metrics={"compaction": True, "n_buckets": self.n_buckets},
             partition_by=["kb"],
         )
+        if self.bydoc is not None:
+            self.bydoc.overwrite(
+                df.withColumn("db", self._db_col()).repartition(self.n_buckets, "db"),
+                metrics={
+                    "compaction": True,
+                    "main_version": v,
+                    "n_buckets": self.n_buckets,
+                },
+                partition_by=["db"],
+            )
+        return v
 
     def add(self, docs: DataFrame) -> DataFrame:
         """Ingest a batch; returns distinct (doc_a, doc_b) candidate
@@ -331,25 +381,40 @@ class IncrementalLSHIndex:
             .dropDuplicates()
         )
         if self.min_sim is not None:
-            # dispose step WITHOUT extra storage: the persisted band
-            # keys ARE the signatures (rows_per_band minhashes each),
-            # so the agreeing-seed Jaccard estimate reconstructs from
-            # the index itself. Only the candidate docs' band rows are
-            # pulled (semi-join by doc id — a broadcast-size list), so
-            # the corpus is scanned, never shuffled.
+            # dispose step: the persisted band keys ARE the signatures
+            # (rows_per_band minhashes each), so the agreeing-seed
+            # Jaccard estimate reconstructs from the index itself. Only
+            # the candidate docs' band rows are pulled (semi-join by
+            # doc id), so the corpus is scanned, never shuffled.
+            # the agreeing-seed estimate needs member docs' band rows
+            # across ALL bands (non-matching bands count against the
+            # estimate). Under the kb layout a doc's rows scatter over
+            # every partition, so the doc-hash TWIN serves this leg:
+            # materialize the candidates once (they feed both the db
+            # collect and the verify join), prune the twin to the
+            # members' db partitions, and only those dirs are planned.
+            if self.bydoc is not None and self.table.current_version():
+                pairs = pairs.localCheckpoint()
             members = (
                 pairs.select(F.col("doc_a").alias("doc_id"))
                 .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
                 .dropDuplicates()
             )
-            # the agreeing-seed estimate needs member docs' band rows
-            # across ALL bands (non-matching bands count against the
-            # estimate), so the dispose leg reads the full table even
-            # under a pruned candidate leg — scan-only, semi-joined by
-            # the bounded member list, never shuffled whole
-            full_old = (
-                self.table.read_flat(self.spark) if self.n_buckets else old
-            ) if old is not None else None
+            if self.bydoc is not None and self.table.current_version():
+                member_db = [
+                    r.db
+                    for r in members.select(self._db_col().alias("db"))
+                    .distinct()
+                    .collect()
+                ]
+                self.last_dispose_dirs = self.bydoc.pruned_paths("db", member_db)
+                full_old = self.bydoc.read_pruned(self.spark, "db", member_db)
+            else:
+                # unpartitioned layout: the dispose leg reads the full
+                # table — scan-only, semi-joined by the member list
+                full_old = (
+                    self.table.read_flat(self.spark) if self.n_buckets else old
+                ) if old is not None else None
             all_bands = new_rows if full_old is None else new_rows.unionByName(
                 full_old.dropDuplicates(["doc_id", "band", "band_key"]).join(
                     new_rows.select("doc_id").dropDuplicates(), "doc_id", "left_anti"
@@ -397,7 +462,18 @@ class IncrementalLSHIndex:
             write_rows = new_rows.withColumn("kb", self._kb_col()).repartition(
                 self.n_buckets, "kb"
             )
-            self.table.append(write_rows, metrics=metrics, partition_by=["kb"])
+            v = self.table.append(write_rows, metrics=metrics, partition_by=["kb"])
+            if self.bydoc is not None:
+                # twin append stamped with the main version it mirrors;
+                # a crash between these two commits leaves the stamp
+                # behind and the next open rebuilds the twin (__init__)
+                self.bydoc.append(
+                    new_rows.withColumn("db", self._db_col()).repartition(
+                        self.n_buckets, "db"
+                    ),
+                    metrics={"main_version": v, "n_buckets": self.n_buckets},
+                    partition_by=["db"],
+                )
         else:
             self.table.append(new_rows, metrics=metrics)
         new_rows.unpersist()

@@ -126,10 +126,10 @@ def main() -> None:
         "buckets of (band, band_key) so the candidate-generation leg "
         "reads only touched partitions (use on large corpora; must stay "
         "constant for the life of the index; 0 = flat legacy layout). "
-        "Note: with a dispose threshold set (the default min-sim), the "
-        "verification leg still scans the full index for member docs' "
-        "band rows -- pass --caption-dedup-min-sim -1 for the fully "
-        "pruned candidates-only pass",
+        "With a dispose threshold set (the default min-sim) a doc-hash "
+        "twin of the band rows is kept under <index>/_bydoc so the "
+        "verification leg is partition-pruned too (storage 2x the band "
+        "rows -- still k integers per doc)",
     )
     ap.add_argument(
         "--compact-lsh-index",

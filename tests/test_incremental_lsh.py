@@ -176,7 +176,8 @@ def test_partitioned_layout_prunes_corpus_scan(spark, tmp_path):
 def test_partitioned_min_sim_matches_unpartitioned(spark, tmp_path):
     """The dispose (agreeing-seed estimate) leg must produce identical
     verified pairs under the pruned layout — it needs member docs' band
-    rows across ALL bands, which the full-table read_flat supplies."""
+    rows across ALL bands, which the doc-hash twin table supplies
+    (partition-pruned to the candidate members' buckets)."""
     batches = [(0, 60), (60, 120)]
 
     def run(path, n_buckets):
@@ -194,6 +195,105 @@ def test_partitioned_min_sim_matches_unpartitioned(spark, tmp_path):
     flat = run(str(tmp_path / "flat"), 0)
     part = run(str(tmp_path / "part"), 16)
     assert part == flat and len(flat) > 0
+
+
+def test_dispose_twin_prunes_member_scan(spark, tmp_path):
+    """min_sim + n_buckets maintains the _bydoc twin: a small batch's
+    dispose leg must read only the member docs' db partitions, not the
+    whole twin (directory pruning, observable via last_dispose_dirs)."""
+    import glob
+    import os
+
+    path = str(tmp_path / "lshd")
+    idx = IncrementalLSHIndex(
+        spark, path, bucket_cap=10**6, min_sim=0.5, n_buckets=16
+    )
+    for lo, hi in [(0, 60), (60, 120)]:
+        idx.add(_docs(spark, lo, hi))
+    one = spark.createDataFrame(
+        [(9000, _docs(spark, 0, 1).collect()[0].text)], ["doc_id", "text"]
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in idx.add(one).collect()}
+    assert (0, 9000) in pairs
+    twin_leaf_dirs = {
+        os.path.dirname(f) for f in glob.glob(path + "/_bydoc/data/*/db=*/*.parquet")
+    }
+    assert idx.last_dispose_dirs is not None
+    assert 0 < len(idx.last_dispose_dirs) < len(twin_leaf_dirs)
+    # and the candidate leg stayed pruned too
+    assert idx.last_scan_dirs is not None
+
+
+def test_dispose_twin_backfills_on_late_enable_and_crash(spark, tmp_path):
+    """Enabling min_sim on a pre-twin table and reopening after a crash
+    between the two appends must both rebuild the twin from the main
+    table (stamp mismatch → overwrite) and then answer identically to
+    an always-enabled flat-layout index."""
+    batches = [(0, 60), (60, 120)]
+
+    # reference: unpartitioned min_sim index over the same batches
+    ref_idx = IncrementalLSHIndex(
+        spark, str(tmp_path / "ref"), bucket_cap=10**6, min_sim=0.5
+    )
+    ref = set()
+    for lo, hi in batches:
+        ref |= {
+            (r.doc_a, r.doc_b, r.est_jaccard)
+            for r in ref_idx.add(_docs(spark, lo, hi)).collect()
+        }
+
+    # late enable: first batch ingested WITHOUT min_sim (no twin) …
+    path = str(tmp_path / "late")
+    IncrementalLSHIndex(spark, path, bucket_cap=10**6, n_buckets=16).add(
+        _docs(spark, 0, 60)
+    )
+    # … then reopened WITH min_sim: __init__ must backfill the twin
+    idx = IncrementalLSHIndex(
+        spark, path, bucket_cap=10**6, min_sim=0.5, n_buckets=16
+    )
+    assert int(idx.bydoc.latest_metrics()["main_version"]) == idx.table.current_version()
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in idx.add(_docs(spark, 60, 120)).collect()
+    }
+    # second-batch output must equal the reference's second-batch slice
+    ref2 = {t for t in ref if 60 <= t[0] < 120 or 60 <= t[1] < 120}
+    assert got == ref2 and len(got) > 0
+
+    # crash window: main append landed, twin append did not — simulate
+    # by rolling the twin pointer back one commit, then reopen
+    twin_v = idx.bydoc.current_version()
+    idx.bydoc.rollback(twin_v - 1)
+    idx2 = IncrementalLSHIndex(
+        spark, path, bucket_cap=10**6, min_sim=0.5, n_buckets=16
+    )
+    assert int(idx2.bydoc.latest_metrics()["main_version"]) == idx2.table.current_version()
+    dup = spark.createDataFrame(
+        [(9000, _docs(spark, 0, 1).collect()[0].text)], ["doc_id", "text"]
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in idx2.add(dup).collect()}
+    assert (0, 9000) in pairs
+
+
+def test_dispose_twin_survives_compaction(spark, tmp_path):
+    """compact() on a min_sim index must rewrite BOTH layouts (kb main,
+    db twin) and change no answers."""
+    import glob
+
+    path = str(tmp_path / "lshdc")
+    idx = IncrementalLSHIndex(
+        spark, path, bucket_cap=10**6, min_sim=0.5, n_buckets=16
+    )
+    for lo, hi in [(0, 40), (40, 80)]:
+        idx.add(_docs(spark, lo, hi))
+    idx.compact()
+    assert len(idx.bydoc.latest_manifest()["files"]) == 1
+    assert glob.glob(path + "/_bydoc/data/*/db=*")
+    dup = spark.createDataFrame(
+        [(9000, _docs(spark, 0, 1).collect()[0].text)], ["doc_id", "text"]
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in idx.add(dup).collect()}
+    assert (0, 9000) in pairs
 
 
 def test_partitioned_reopen_guard(spark, tmp_path):
