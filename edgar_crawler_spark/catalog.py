@@ -1566,6 +1566,20 @@ def q_ann_ivf_kmeans(spark, sf):
     return similarity.ivf_topk(emb, _ANN_QUERY_IDS, k=5, cents=cents)
 
 
+def q_ann_kmeans_minibatch(spark, sf):
+    """Mini-batch spherical k-means (Sculley shape — the 10^9-row
+    trainer: hash-sampled training rounds + ONE full assignment pass;
+    operators/similarity.py:kmeans_refine_minibatch). Rows-only: the
+    running-sufficient-statistics update has no tractable SQL twin;
+    determinism, seed-improvement and assignment-consistency are
+    pytest-proven (tests/test_clustering_sampling.py)."""
+    emb = t(spark, sf, "embeddings")
+    _, assigned = similarity.kmeans_refine_minibatch(
+        emb, n_cells=8, dim=64, iterations=3, fraction=0.4
+    )
+    return assigned
+
+
 def _ivf_kmeans_sql(iterations: int = 2) -> str:
     # the k-means CTE chain (same construction as SQL_ANN_KMEANS) up
     # to the refined centroid table ct{iterations}, then the nprobe=1
@@ -2196,6 +2210,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sample_stratified_topk": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "ann_bruteforce_topk": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_kmeans_minibatch": (q_ann_kmeans_minibatch, None),
     # multiply evidenced (green in r01–r03 driver windows) → tail slot
     # so the new video row fits inside the ~50-row sampler window
     "tpch_q5_shape": (q_tpch_q5_shape, SQL_TPCH_Q5),

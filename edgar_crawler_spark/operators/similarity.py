@@ -419,6 +419,95 @@ def kmeans_refine(
     return cents, out
 
 
+def kmeans_refine_minibatch(
+    emb: DataFrame,
+    n_cells: int = 8,
+    dim: int = 64,
+    iterations: int = 5,
+    fraction: float = 0.05,
+    vec_col: str = "embedding",
+    seed: int = 17,
+) -> tuple[list[list[float]], DataFrame]:
+    """Web-scale spherical k-means (Sculley 2010 shape): each training
+    round fits on a deterministic hash-sample of the rows and the full
+    corpus is scanned exactly ONCE, for the final assignment.  This is
+    THE trainer for 10^9+-row corpora — Lloyd's loop
+    (:func:`kmeans_refine`) costs ``iterations`` full passes, this
+    costs ``iterations × fraction`` plus one.
+
+    Mechanics per round r: rows with
+    ``pmod(xxhash64(vec_id, seed + r), 1e6) < fraction × 1e6`` form the
+    mini-batch — a JVM-side filter evaluated BEFORE the Arrow boundary,
+    so only sampled vectors cross into the Python kernel; the kernel
+    emits batch-local partials (cell, count, Σv) exactly as the
+    full-batch loop does.  Updates accumulate RUNNING per-cell
+    sufficient statistics (S_c, N_c) across rounds and re-normalize
+    S_c/N_c onto the unit sphere — each cell's effective learning rate
+    decays as 1/N_c, Sculley's per-center rate.  Deterministic: the
+    sample is a pure hash, the seed centroids are
+    :func:`ivf_centroids`, and partial sums are merged cell-by-cell on
+    the driver.  Unlike full-batch spherical k-means the objective is
+    not guaranteed monotone between rounds (assignments drift under a
+    sampled update); the test suite checks it beats the seed on
+    separated data, which is the property that matters for an IVF
+    quantizer.
+
+    Returns (centroids, assignments) with assignments =
+    (vec_id, cell, score) from ONE full :func:`assign_cells_broadcast`
+    pass under the final centroids."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    cents = []
+    for c in ivf_centroids(n_cells, dim):
+        nrm = sum(float(x) * float(x) for x in c) ** 0.5 or 1.0
+        cents.append([float(x) / nrm for x in c])
+    spark = emb.sparkSession
+    df = (
+        emb.select("vec_id", F.col(vec_col).alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    threshold = int(fraction * 1_000_000)
+    S = np.zeros((n_cells, dim), dtype=np.float64)
+    N = np.zeros(n_cells, dtype=np.int64)
+    for r in range(iterations):
+        mb = df.filter(
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed + r)), F.lit(1_000_000))
+            < F.lit(threshold)
+        )
+        partials, bc = _kmeans_partials_broadcast(mb, cents, vec_col="v")
+        rows = (
+            partials.groupBy("cell")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.array(
+                    *[F.sum(F.col("sums")[d]).alias(f"s{d}") for d in range(dim)]
+                ).alias("sums"),
+            )
+            .collect()
+        )
+        bc.unpersist()
+        for row in rows:
+            S[row["cell"]] += np.asarray(row["sums"], dtype=np.float64)
+            N[row["cell"]] += row["cnt"]
+        new = []
+        for j in range(n_cells):
+            if N[j]:
+                m = S[j] / N[j]
+                nrm = float(np.sqrt((m * m).sum()))
+                new.append((m / nrm).tolist() if nrm > 0 else cents[j])
+            else:
+                new.append(cents[j])
+        cents = new
+    final = assign_cells_broadcast(df, cents, nprobe=1, vec_col="v", repartition=False)
+    out = final.select(
+        "vec_id",
+        F.col("cells")[0].alias("cell"),
+        F.round(F.col("scores")[0], 4).alias("score"),
+    )
+    return cents, out
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -221,6 +221,53 @@ def test_kmeans_refine_improves_quantizer(spark):
     assert all(r["count"] <= 3 for r in got)
 
 
+def test_kmeans_minibatch_deterministic_and_improves_seed(spark):
+    """Mini-batch spherical k-means: deterministic across runs, beats
+    the unrefined seed's objective on the embeddings table, assignments
+    are consistent with the returned centroids, and each round's sample
+    really is a strict subset (fraction < 1)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from edgar_crawler_spark.operators.similarity import (
+        assign_cells_broadcast,
+        ivf_centroids,
+        kmeans_refine_minibatch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    cents1, out1 = kmeans_refine_minibatch(emb, iterations=3, fraction=0.4)
+    cents2, out2 = kmeans_refine_minibatch(emb, iterations=3, fraction=0.4)
+    assert cents1 == cents2
+    rows1 = sorted((r.vec_id, r.cell, r.score) for r in out1.collect())
+    assert rows1 == sorted((r.vec_id, r.cell, r.score) for r in out2.collect())
+    assert len(rows1) == emb.count()
+
+    # objective vs the raw seed (iterations=0 via fraction-only train skip)
+    seed_cents = []
+    for c in ivf_centroids(8, 64):
+        nrm = sum(x * x for x in c) ** 0.5
+        seed_cents.append([x / nrm for x in c])
+    seed_score = (
+        assign_cells_broadcast(emb, seed_cents)
+        .select(F.avg(F.col("scores")[0]).alias("s"))
+        .collect()[0]["s"]
+    )
+    mb_score = out1.agg(F.avg("score")).collect()[0][0]
+    assert mb_score >= seed_score - 1e-9
+
+    # assignments match a fresh assign pass under the returned centroids
+    fresh = {
+        r.vec_id: r.cells[0]
+        for r in assign_cells_broadcast(emb, cents1).collect()
+    }
+    assert all(fresh[v] == c for v, c, _ in rows1)
+
+    with pytest.raises(ValueError, match="fraction"):
+        kmeans_refine_minibatch(emb, fraction=0.0)
+
+
 def test_dedup_representatives_by_keeps_best_scorer(spark):
     """Quality-aware representative: the argmax-score member survives
     (NOT the min id), ties break to the lowest id, singletons pass."""

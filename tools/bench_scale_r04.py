@@ -171,6 +171,58 @@ def kmeans(cpus: int) -> dict:
     }
 
 
+def kmeans_mb(cpus: int) -> dict:
+    """Mini-batch trainer at 1M rows / 1024 cells: 5 hash-sampled
+    rounds (fraction 0.05) + ONE full assignment — the 10^9-row
+    training shape (vs 'kmeans' mode's full Lloyd passes).  rows/s
+    counts rows actually scanned by Python kernels:
+    n × (iterations × fraction + 1)."""
+    from edgar_crawler_spark.operators.similarity import kmeans_refine_minibatch
+
+    spark = get_spark(
+        app_name=f"kmeansmb-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    copies = 512
+    big = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("c"),
+        )
+        .select(
+            (F.col("vec_id") + F.col("c") * 100_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.col("c").cast("double") * F.lit(1e-4)
+            ).alias("embedding"),
+        )
+        .repartition(max(cpus * 2, 8))
+        .persist()
+    )
+    n = big.count()
+    iterations, fraction = 5, 0.05
+    kmeans_refine_minibatch(
+        big.limit(2000), n_cells=1024, dim=64, iterations=1, fraction=0.5
+    )[1].count()  # warm
+    t0 = time.time()
+    _, assigned = kmeans_refine_minibatch(
+        big, n_cells=1024, dim=64, iterations=iterations, fraction=fraction
+    )
+    n_assigned = assigned.count()
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "metric": "kmeans_minibatch_1024c",
+        "cpus": cpus,
+        "n_rows": n,
+        "n_assigned": n_assigned,
+        "iterations": iterations,
+        "fraction": fraction,
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(n * (iterations * fraction + 1) / wall, 1),
+    }
+
+
 def assign(cpus: int) -> dict:
     """Marginal quantizer-application throughput (the per-row scan that
     dominates at serving/ingest time, no train-loop barriers): one
@@ -227,6 +279,8 @@ def main():
         print(json.dumps(lsh_lookup()))
     elif mode == "kmeans":
         print(json.dumps(kmeans(int(sys.argv[2]))))
+    elif mode == "kmeans-mb":
+        print(json.dumps(kmeans_mb(int(sys.argv[2]))))
     elif mode == "assign":
         print(json.dumps(assign(int(sys.argv[2]))))
     elif mode == "ivf-index":
