@@ -1614,6 +1614,55 @@ def q_emb_near_dup(spark, sf):
     return similarity.embedding_near_dup_pairs(t(spark, sf, "embeddings"), threshold=0.25)
 
 
+def q_emb_semantic_dedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): quantizer-cell-partitioned cosine
+    pairs → connected components → min-id representative per semantic
+    cluster (operators/similarity.py:semantic_dedup). The quadratic
+    compare is per CELL, never per corpus; cell_cap mirrors the LSH
+    bucket_cap guard and is mirrored in the oracle."""
+    return similarity.semantic_dedup(
+        t(spark, sf, "embeddings"), threshold=0.25, n_cells=8, dim=64, cell_cap=10_000
+    )
+
+
+def _semdedup_sql(threshold: float = 0.25, n_cells: int = 8, dim: int = 64,
+                  cell_cap: int = 10_000) -> str:
+    cents = similarity.seed_centroids(n_cells, dim)
+    arrs = ["[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents]
+    cent_rows = ", ".join(f"({j}, {a})" for j, a in enumerate(arrs))
+    cos = (
+        "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v))"
+        " * sqrt(list_inner_product(b.v, b.v)))"
+    )
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ct0(j, cv) AS (SELECT * FROM (VALUES {cent_rows})),
+cells AS (SELECT vec_id, v, j AS cell FROM (
+  SELECT e.vec_id, e.v, c.j,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_inner_product(e.v, c.cv) DESC, c.j ASC) AS r
+  FROM e CROSS JOIN ct0 c) WHERE r = 1),
+ok AS (SELECT cell FROM cells GROUP BY cell HAVING COUNT(*) <= {cell_cap}),
+okc AS (SELECT c.* FROM cells c JOIN ok USING (cell)),
+p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM okc a JOIN okc b USING (cell)
+      WHERE a.vec_id < b.vec_id AND {cos} >= {threshold}),
+edges AS (SELECT va AS src, vb AS dst FROM p
+          UNION SELECT vb AS src, va AS dst FROM p),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+comps AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT c.vec_id, c.cell, COALESCE(cm.component, c.vec_id) AS rep_id
+FROM cells c LEFT JOIN comps cm ON cm.node = c.vec_id
+"""
+
+
+SQL_EMB_SEMDEDUP = _semdedup_sql()
+
+
 def q_audio_features(spark, sf):
     """WAV/RIFF audio kernel over the synthetic clip corpus (stdlib
     wave + numpy — operators/multimodal.py): per-clip sample rate,
@@ -2137,6 +2186,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "emb_near_dup_pairs": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
+    "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMDEDUP),
     "ann_ivf_nprobe_topk": (q_ann_ivf_nprobe, SQL_ANN_IVF_NPROBE),
     "text_quality_score": (q_text_quality, SQL_TEXT_QUALITY),
     "ann_kmeans_assign": (q_ann_kmeans_assign, SQL_ANN_KMEANS),
@@ -2177,7 +2227,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "a6_argmax_per_group": (q_a6_argmax, SQL_A6),
     "tpch_q3_shape": (q_tpch_q3_shape, SQL_TPCH_Q3),
     "rollup_summary": (q_rollup_summary, SQL_ROLLUP),
-    "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "percentile_summary": (q_percentile_summary, SQL_PERCENTILE_SUMMARY),
     "t3_collapse_whitespace": (q_t3_collapse_whitespace, SQL_T3),
     "t13_type_dispatch": (q_t13_dispatch, SQL_T13),
@@ -2214,6 +2263,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # multiply evidenced (green in r01–r03 driver windows) → tail slot
     # so the new video row fits inside the ~50-row sampler window
     "tpch_q5_shape": (q_tpch_q5_shape, SQL_TPCH_Q5),
+    "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "extract_items_long": (q_extract_items_long, None),
     "extract_records": (q_extract_records, None),
 }

@@ -350,10 +350,7 @@ def kmeans_refine(
     are bit-identical (see :func:`assign_cells_broadcast`).  The
     centroid UPDATE stays JVM-side either way: one map-side-combined
     groupBy whose shuffle carries k×(dim+1) partials."""
-    cents = []
-    for c in ivf_centroids(n_cells, dim):
-        nrm = sum(float(x) * float(x) for x in c) ** 0.5 or 1.0
-        cents.append([float(x) / nrm for x in c])
+    cents = seed_centroids(n_cells, dim)
     use_bc = _use_broadcast(cents, broadcast_centroids)
     df = emb.select("vec_id", F.col(vec_col).alias("v"))
     if use_bc:
@@ -419,6 +416,84 @@ def kmeans_refine(
     return cents, out
 
 
+def seed_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """The L2-normalized :func:`ivf_centroids` seed — the shared
+    starting quantizer of every trainer here (normalization keeps the
+    spherical-k-means monotonicity argument valid and argmax-dot
+    meaningful)."""
+    cents = []
+    for c in ivf_centroids(n_cells, dim):
+        nrm = sum(float(x) * float(x) for x in c) ** 0.5 or 1.0
+        cents.append([float(x) / nrm for x in c])
+    return cents
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    dim: int = 64,
+    cents: list[list[float]] | None = None,
+    cell_cap: int = 100_000,
+    vec_col: str = "embedding",
+    broadcast_centroids: bool | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    quantizer cell — embeddings land in their argmax-dot cell, cosine
+    pairs ≥ ``threshold`` are formed WITHIN cells only, and each
+    connected component keeps its minimum ``vec_id``.  Returns
+    (vec_id, cell, rep_id) for EVERY input row; survivors are the rows
+    with ``rep_id == vec_id``, and the mapping doubles as the
+    train-on-the-representative lookup.
+
+    Scale shape: the all-pairs cosine is quadratic per CELL, never per
+    corpus — exactly the paper's trick (cluster first, compare within
+    clusters).  ``cell_cap`` skips degenerate cells the way the LSH
+    ``bucket_cap`` does (a 10^6-member cell is 10^12 pairs of almost
+    pure noise; the cap is explicit and mirrored in the oracle).  Cell
+    assignment auto-routes to the broadcast-centroid kernel above
+    LITERAL_PLAN_MAX_TERMS (bit-identical to the literal plan, see
+    :func:`assign_cells_broadcast`); the pair join shuffles on the
+    cell key; components close in O(log diameter) rounds
+    (operators/dedup.py:connected_components).  Pass ``cents`` from
+    :func:`kmeans_refine`/:func:`kmeans_refine_minibatch` to dedup
+    under a trained quantizer; default is the deterministic seed."""
+    from edgar_crawler_spark.operators.dedup import connected_components
+
+    if cents is None:
+        cents = seed_centroids(n_cells, dim)
+    if _use_broadcast(cents, broadcast_centroids):
+        withc = _with_cell_broadcast(emb, cents, vec_col)
+    else:
+        withc = emb.withColumn("cell", _cell_col(F.col(vec_col), cents))
+    slim = withc.select("vec_id", "cell", F.col(vec_col).alias("v"))
+    ok = (
+        slim.groupBy("cell")
+        .agg(F.count("*").alias("__sz"))
+        .filter(F.col("__sz") <= cell_cap)
+        .drop("__sz")
+    )
+    capped = slim.join(ok, "cell", "left_semi")
+    a = capped.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "cell")
+    b = capped.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    return (
+        slim.select("vec_id", "cell")
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("component", "vec_id").alias("rep_id"),
+        )
+    )
+
+
 def kmeans_refine_minibatch(
     emb: DataFrame,
     n_cells: int = 8,
@@ -457,10 +532,7 @@ def kmeans_refine_minibatch(
     pass under the final centroids."""
     if not (0.0 < fraction <= 1.0):
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
-    cents = []
-    for c in ivf_centroids(n_cells, dim):
-        nrm = sum(float(x) * float(x) for x in c) ** 0.5 or 1.0
-        cents.append([float(x) / nrm for x in c])
+    cents = seed_centroids(n_cells, dim)
     spark = emb.sparkSession
     df = (
         emb.select("vec_id", F.col(vec_col).alias("v"))

@@ -221,6 +221,35 @@ def test_kmeans_refine_improves_quantizer(spark):
     assert all(r["count"] <= 3 for r in got)
 
 
+def test_semantic_dedup_clusters_within_cells(spark):
+    """SemDeDup: rep_id is the component minimum, every vec appears
+    exactly once, clusters never span quantizer cells, and a trained
+    quantizer (kmeans cents hook) slots in."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.operators.similarity import (
+        kmeans_refine_minibatch,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.25, n_cells=8, dim=64).toPandas()
+    assert len(out) == emb.count() and out.vec_id.is_unique
+    # rep is a member of the same cluster and is its minimum id
+    by_rep = out.groupby("rep_id")
+    for rep, grp in by_rep:
+        assert rep == grp.vec_id.min()
+        assert grp.cell.nunique() == 1  # clusters never span cells
+    # survivors = one per cluster
+    assert (out.rep_id == out.vec_id).sum() == out.rep_id.nunique()
+    # dedup actually merged something at this threshold
+    assert out.rep_id.nunique() < len(out)
+
+    cents, _ = kmeans_refine_minibatch(emb, iterations=2, fraction=0.5)
+    trained = semantic_dedup(emb, threshold=0.25, cents=cents)
+    assert trained.count() == len(out)
+
+
 def test_kmeans_minibatch_deterministic_and_improves_seed(spark):
     """Mini-batch spherical k-means: deterministic across runs, beats
     the unrefined seed's objective on the embeddings table, assignments

@@ -130,6 +130,58 @@ def lsh_lookup() -> dict:
     return out
 
 
+def lsh_dispose() -> dict:
+    """Verified (min_sim) lookup against a 50k-doc corpus: the dispose
+    leg needs member docs' band rows across ALL bands.  Flat layout
+    scans the whole index for them; the _bydoc twin (doc-hash
+    partitions) prunes to the members' buckets.  Scale signal = the
+    fraction of twin BYTES planned by the dispose leg."""
+    import glob
+    import os
+
+    from edgar_crawler_spark.operators.dedup import IncrementalLSHIndex
+
+    def _tree_bytes(dirs):
+        total = 0
+        for d in dirs:
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                total += os.path.getsize(f)
+        return total
+
+    spark = get_spark(app_name="lsh-dispose", master="local[8]", shuffle_partitions=8)
+    docs = _docs(spark, 10).persist()
+    docs.count()
+    probe_rows = docs.limit(10).collect()
+    out = {"metric": "lsh_index_dispose", "n_corpus": 50000, "n_probe": 10, "min_sim": 0.5}
+    for label, buckets in (("flat", 0), ("partitioned", 64)):
+        path = tempfile.mkdtemp() + f"/lshd_{label}"
+        idx = IncrementalLSHIndex(spark, path, n_buckets=buckets, min_sim=0.5)
+        idx.add(docs)
+        walls = []
+        for rep in range(3):
+            p = spark.createDataFrame(
+                [(r.doc_id + 10_000_000 * (rep + 1), r.text) for r in probe_rows],
+                ["doc_id", "text"],
+            )
+            t0 = time.time()
+            idx.add(p).count()
+            walls.append(time.time() - t0)
+        out[label] = {"wall_s_median": round(sorted(walls)[1], 2)}
+        if buckets:
+            twin_leafs = {
+                os.path.dirname(f)
+                for f in glob.glob(path + "/_bydoc/data/*/db=*/*.parquet")
+            }
+            scanned = idx.last_dispose_dirs
+            out[label]["dispose_dirs"] = len(scanned)
+            out[label]["twin_total_dirs"] = len(twin_leafs)
+            out[label]["dispose_bytes_ratio"] = round(
+                _tree_bytes(scanned) / max(1, _tree_bytes(twin_leafs)), 3
+            )
+    spark.stop()
+    return out
+
+
 def kmeans(cpus: int) -> dict:
     from edgar_crawler_spark.operators.similarity import kmeans_refine
 
@@ -277,6 +329,8 @@ def main():
         print(json.dumps(lsh_ingest(int(sys.argv[2]))))
     elif mode == "lsh-lookup":
         print(json.dumps(lsh_lookup()))
+    elif mode == "lsh-dispose":
+        print(json.dumps(lsh_dispose()))
     elif mode == "kmeans":
         print(json.dumps(kmeans(int(sys.argv[2]))))
     elif mode == "kmeans-mb":
