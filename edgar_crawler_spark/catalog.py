@@ -1992,6 +1992,49 @@ FROM per GROUP BY doc_id
 """
 
 
+def q_text_cross_dup(spark, sf):
+    """Cross-document repeated-span ratio (ExactSubstr flavor, Lee et
+    al. 2022): the fraction of each doc's word 3-gram windows whose
+    gram appears in at least one OTHER document — catches shared
+    boilerplate the within-doc Gopher stats miss."""
+    return text.cross_dup_ngram_stats(t(spark, sf, "documents"), n=3)
+
+
+SQL_TEXT_CROSS_DUP = f"""
+WITH {_word_ngram_cte(3)},
+per AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+shared AS (SELECT gram FROM per GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, SUM(c) AS hit FROM per JOIN shared USING (gram) GROUP BY doc_id),
+tot AS (SELECT doc_id, SUM(c) AS nw FROM per GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.nw AS BIGINT) AS n_windows,
+       ROUND(COALESCE(h.hit, 0) / CAST(t.nw AS DOUBLE), 6) AS cross_dup_ratio
+FROM tot t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_text_entropy(spark, sf):
+    """Per-doc unigram Shannon entropy + type-token ratio
+    (operators/text.py:token_entropy): information-density quality
+    gates — near-zero entropy = repetition spam, entropy ≈ log2(n)
+    with TTR ≈ 1 = random-token noise."""
+    return text.token_entropy(t(spark, sf, "documents"))
+
+
+SQL_TEXT_ENTROPY = """
+WITH toks AS (SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents),
+per AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+               ROUND(log2(SUM(c)) - SUM(c * log2(c)) / CAST(SUM(c) AS DOUBLE), 6) AS entropy_bits
+        FROM per GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.ttr, 0.0) AS ttr,
+       COALESCE(a.entropy_bits, 0.0) AS entropy_bits
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_text_decontaminate(spark, sf):
     docs = t(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") % 17 == 0)
@@ -2194,6 +2237,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf_kmeans_topk": (q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_dup_ngram_stats": (q_text_dup_ngram_stats, SQL_TEXT_DUP_NGRAM),
+    "text_cross_dup_ngrams": (q_text_cross_dup, SQL_TEXT_CROSS_DUP),
+    "text_token_entropy": (q_text_entropy, SQL_TEXT_ENTROPY),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "text_winnowing_fingerprints": (q_text_winnowing, SQL_TEXT_WINNOWING),
     "text_tfidf_top_terms": (q_text_tfidf, SQL_TEXT_TFIDF),
@@ -2225,8 +2270,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "a3_per_host_rank": (q_a3_per_host_rank, SQL_A3),
     "a5_agg_summary": (q_a5_agg_summary, SQL_A5),
     "a6_argmax_per_group": (q_a6_argmax, SQL_A6),
-    "tpch_q3_shape": (q_tpch_q3_shape, SQL_TPCH_Q3),
-    "rollup_summary": (q_rollup_summary, SQL_ROLLUP),
     "percentile_summary": (q_percentile_summary, SQL_PERCENTILE_SUMMARY),
     "t3_collapse_whitespace": (q_t3_collapse_whitespace, SQL_T3),
     "t13_type_dispatch": (q_t13_dispatch, SQL_T13),
@@ -2263,6 +2306,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # multiply evidenced (green in r01–r03 driver windows) → tail slot
     # so the new video row fits inside the ~50-row sampler window
     "tpch_q5_shape": (q_tpch_q5_shape, SQL_TPCH_Q5),
+    "tpch_q3_shape": (q_tpch_q3_shape, SQL_TPCH_Q3),
+    "rollup_summary": (q_rollup_summary, SQL_ROLLUP),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "extract_items_long": (q_extract_items_long, None),
     "extract_records": (q_extract_records, None),

@@ -184,6 +184,80 @@ def dup_ngram_stats(docs: DataFrame, n: int = 2, text_col: str = "text") -> Data
     )
 
 
+def cross_dup_ngram_stats(docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+    """Cross-DOCUMENT repeated-span signal (the ExactSubstr flavor of
+    Lee et al. 2022 §4.1, at n-gram granularity): per document, the
+    fraction of its word n-gram windows whose gram also occurs in at
+    least one OTHER document.  The within-doc twin is
+    :func:`dup_ngram_stats` (Gopher repetition); this one catches
+    shared boilerplate — licence blocks, navigation chrome, templated
+    paragraphs — that per-doc stats cannot see.
+
+    Plan: explode n-grams → map-side-combined groupBy (doc_id, gram) →
+    gram-level doc-count (second combined groupBy over the already
+    collapsed per-doc rows) → semi-join back.  Every shuffle carries
+    distinct (doc, gram) or (gram) keys, never the raw window stream.
+    At 100 TB the gram string itself is the shuffle payload; a
+    production run would key by xxhash64(gram) (the oracle keeps the
+    string — DuckDB 1.0 has no xxhash64, and at sf scales the string
+    is measured cheaper than an oracle-portable hash, CLAUDE.md r03)."""
+    per = _word_ngrams(docs, n, text_col).groupBy("doc_id", "gram").agg(
+        F.count("*").alias("c")
+    )
+    shared = (
+        per.groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = (
+        per.join(shared, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("hit"))
+    )
+    totals = per.groupBy("doc_id").agg(F.sum("c").alias("nw"))
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("nw").cast("long").alias("n_windows"),
+        F.round(
+            F.coalesce(F.col("hit"), F.lit(0)) / F.col("nw").cast("double"), 6
+        ).alias("cross_dup_ratio"),
+    )
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram Shannon entropy (bits) and type-token
+    ratio — the information-density quality signals: near-zero entropy
+    flags keyword-stuffing/repetition spam, entropy ≈ log2(n_tokens)
+    with TTR ≈ 1 flags random-token noise; natural prose sits between.
+
+    One explode → one map-side-combined groupBy (doc_id, tok) → one
+    groupBy(doc_id); entropy via the algebraic form
+    log2(n) − Σ c·log2(c) / n, so the shuffle carries only distinct
+    token counts.  Docs with no tokens report entropy 0, ttr 0."""
+    t = F.col(text_col)
+    per = (
+        docs.select(
+            "doc_id", F.explode(F.filter(F.split(t, " "), lambda x: x != "")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    ent = F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n
+    with_toks = per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(F.count("*") / n, 6).alias("ttr"),
+        F.round(ent, 6).alias("entropy_bits"),
+    )
+    return docs.select("doc_id").join(with_toks, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("ttr", F.lit(0.0)).alias("ttr"),
+        F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
+    )
+
+
 def decontamination_overlap(
     docs: DataFrame,
     bench_docs: DataFrame,

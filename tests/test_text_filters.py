@@ -177,3 +177,43 @@ def test_pack_sequences_capacity_and_determinism(spark):
     big = spark.createDataFrame([(999, " ".join("x" for _ in range(3 * cap)))], "doc_id long, text string")
     out2 = pack_sequences(docs.union(big), max_tokens=cap, n_shards=4)
     assert out2.filter(F.col("doc_id") == 999).count() == 1
+
+
+def test_cross_dup_ngram_stats_detects_shared_boilerplate(spark):
+    """Docs sharing a boilerplate 3-gram run score > 0; a unique doc
+    scores 0; docs shorter than n tokens drop out (no window)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "all rights reserved by acme corp forever"),
+            (2, "all rights reserved by someone else entirely"),
+            (3, "completely unrelated text with unique words here"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.cross_dup_ngram_stats(docs, n=3).collect()}
+    assert 4 not in out  # 2 tokens < n
+    assert out[1].cross_dup_ratio > 0 and out[2].cross_dup_ratio > 0
+    assert out[3].cross_dup_ratio == 0.0
+    # doc 1: 5 windows, shared = 'all rights reserved', 'rights reserved by'
+    assert out[1].n_windows == 5 and abs(out[1].cross_dup_ratio - 0.4) < 1e-9
+
+
+def test_token_entropy_extremes(spark):
+    """Repetition spam ~ 0 bits; k distinct uniform tokens = log2(k)
+    bits with TTR 1; empty text reports zeros instead of dropping."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "a b c d e f g h"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.token_entropy(docs).collect()}
+    assert out[1].entropy_bits == 0.0 and abs(out[1].ttr - 1 / 8) < 1e-9
+    assert abs(out[2].entropy_bits - 3.0) < 1e-9 and out[2].ttr == 1.0
+    assert out[3].n_tokens == 0 and out[3].entropy_bits == 0.0 and out[3].ttr == 0.0
+    assert math.isclose(out[2].n_tokens, 8)
