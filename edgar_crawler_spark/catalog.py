@@ -1074,6 +1074,79 @@ FROM runs
 SQL_PIPELINE_PREP_V3 = _v3_sql()
 
 
+def q_pipeline_prep_corpus_v4(spark, sf):
+    """The multimodal-curation capstone, chaining THIS session's new
+    operators end-to-end: token-entropy gate (information density) →
+    cross-doc boilerplate gate (shared 3-gram spans) → SEMANTIC dedup
+    (SemDeDup survivors over the doc-aligned embeddings table, joined
+    doc_id = vec_id) → per-source stratified sample. Every stage is an
+    individually oracle-checked operator; the composite has its own
+    full recursive-CTE mirror. ONE lazy DataFrame — Catalyst pushes
+    both text gates into semi-joins off a single documents scan, and
+    the embedding leg reuses the cell-partitioned pair join."""
+    from edgar_crawler_spark.operators.sampling import stratified_topk
+    from edgar_crawler_spark.operators.similarity import semantic_dedup
+
+    docs = t(spark, sf, "documents")
+    emb = t(spark, sf, "embeddings")
+    ent_ok = (
+        text.token_entropy(docs)
+        .filter(F.col("entropy_bits") >= 4.0)
+        .select("doc_id")
+    )
+    xd_ok = (
+        text.cross_dup_ngram_stats(docs, n=3)
+        .filter(F.col("cross_dup_ratio") <= 0.75)
+        .select("doc_id")
+    )
+    survivors = (
+        semantic_dedup(emb, threshold=0.25, n_cells=8, dim=64, cell_cap=10_000)
+        .filter(F.col("rep_id") == F.col("vec_id"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    kept = (
+        docs.join(ent_ok, "doc_id", "left_semi")
+        .join(xd_ok, "doc_id", "left_semi")
+        .join(survivors, "doc_id", "left_semi")
+    )
+    return stratified_topk(kept, "source", "doc_id", 10).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _v4_sql() -> str:
+    return f"""
+WITH RECURSIVE {_word_ngram_cte(3).strip()},
+xper AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+xshared AS (SELECT gram FROM xper GROUP BY gram HAVING COUNT(*) >= 2),
+xhits AS (SELECT doc_id, SUM(c) AS hit FROM xper JOIN xshared USING (gram) GROUP BY doc_id),
+xtot AS (SELECT doc_id, SUM(c) AS nw FROM xper GROUP BY doc_id),
+xd_ok AS (SELECT t.doc_id FROM xtot t LEFT JOIN xhits h USING (doc_id)
+          WHERE ROUND(COALESCE(h.hit, 0) / CAST(t.nw AS DOUBLE), 6) <= 0.75),
+etoks AS (SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+          FROM documents),
+eper AS (SELECT doc_id, tok, COUNT(*) AS c FROM etoks GROUP BY 1, 2),
+ent_ok AS (SELECT doc_id FROM eper GROUP BY doc_id
+           HAVING ROUND(log2(SUM(c)) - SUM(c * log2(c)) / CAST(SUM(c) AS DOUBLE), 6) >= 4.0),
+{_semdedup_ctes()},
+survivors AS (SELECT c.vec_id AS doc_id FROM cells c LEFT JOIN comps cm ON cm.node = c.vec_id
+              WHERE COALESCE(cm.component, c.vec_id) = c.vec_id),
+kept AS (SELECT d.* FROM documents d
+         JOIN ent_ok USING (doc_id)
+         JOIN xd_ok USING (doc_id)
+         JOIN survivors USING (doc_id))
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY {h48_sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn
+  FROM kept)
+WHERE rn <= 10
+"""
+
+
+# SQL_PIPELINE_PREP_V4 is assigned after _word_ngram_cte/_semdedup_ctes
+# are defined (module ordering) — see below SQL_TEXT_ENTROPY.
+
+
 def q_pipeline_prep_corpus_v2(spark, sf):
     """The round-3 corpus-prep flagship: repetition gate (Gopher
     dup-2-gram ratio) + benchmark decontamination (3-gram overlap vs
@@ -1625,8 +1698,10 @@ def q_emb_semantic_dedup(spark, sf):
     )
 
 
-def _semdedup_sql(threshold: float = 0.25, n_cells: int = 8, dim: int = 64,
-                  cell_cap: int = 10_000) -> str:
+def _semdedup_ctes(threshold: float = 0.25, n_cells: int = 8, dim: int = 64,
+                   cell_cap: int = 10_000) -> str:
+    """The SemDeDup CTE chain (cells … comps) — shared by the
+    standalone oracle and the v4 capstone mirror."""
     cents = similarity.seed_centroids(n_cells, dim)
     arrs = ["[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents]
     cent_rows = ", ".join(f"({j}, {a})" for j, a in enumerate(arrs))
@@ -1634,9 +1709,7 @@ def _semdedup_sql(threshold: float = 0.25, n_cells: int = 8, dim: int = 64,
         "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v))"
         " * sqrt(list_inner_product(b.v, b.v)))"
     )
-    return f"""
-WITH RECURSIVE
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 ct0(j, cv) AS (SELECT * FROM (VALUES {cent_rows})),
 cells AS (SELECT vec_id, v, j AS cell FROM (
   SELECT e.vec_id, e.v, c.j,
@@ -1654,13 +1727,15 @@ reach(node, r) AS (
   SELECT src, src FROM edges
   UNION
   SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-comps AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+comps AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)"""
+
+
+SQL_EMB_SEMDEDUP = f"""
+WITH RECURSIVE
+{_semdedup_ctes()}
 SELECT c.vec_id, c.cell, COALESCE(cm.component, c.vec_id) AS rep_id
 FROM cells c LEFT JOIN comps cm ON cm.node = c.vec_id
 """
-
-
-SQL_EMB_SEMDEDUP = _semdedup_sql()
 
 
 def q_audio_features(spark, sf):
@@ -2035,6 +2110,9 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+SQL_PIPELINE_PREP_V4 = _v4_sql()
+
+
 def q_text_decontaminate(spark, sf):
     docs = t(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") % 17 == 0)
@@ -2253,6 +2331,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_scrub_pii": (q_text_scrub_pii, SQL_TEXT_SCRUB_PII),
     "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK),
     "pipeline_prep_corpus_v3": (q_pipeline_prep_corpus_v3, SQL_PIPELINE_PREP_V3),
+    "pipeline_prep_corpus_v4": (q_pipeline_prep_corpus_v4, SQL_PIPELINE_PREP_V4),
     "s2_date_guard": (q_s2_date_guard, SQL_S2),
     "s4_index_parse": (q_s4_index_parse, SQL_S4_INDEX_PARSE),
     "p1_url_prefix": (q_p1_url_prefix, SQL_P1),
@@ -2277,7 +2356,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # walks dict order and the r02 run truncated the tail (VERDICT item 7)
     "ev_tumbling_hourly": (q_ev_tumbling_hourly, SQL_EV_TUMBLING),
     "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
-    "ev_json_props": (q_ev_json_props, SQL_EV_JSON),
     "ev_topk_users": (q_ev_topk_users, SQL_EV_TOPK),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_signatures": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
@@ -2306,6 +2384,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # multiply evidenced (green in r01–r03 driver windows) → tail slot
     # so the new video row fits inside the ~50-row sampler window
     "tpch_q5_shape": (q_tpch_q5_shape, SQL_TPCH_Q5),
+    "ev_json_props": (q_ev_json_props, SQL_EV_JSON),
     "tpch_q3_shape": (q_tpch_q3_shape, SQL_TPCH_Q3),
     "rollup_summary": (q_rollup_summary, SQL_ROLLUP),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
