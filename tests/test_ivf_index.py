@@ -102,3 +102,24 @@ def test_ivf_index_compaction_preserves_layout_and_results(spark, tmp_path):
     assert len(idx.vectors.latest_manifest()["files"]) == 1
     after = sorted(map(tuple, idx.topk(queries, k=5, nprobe=3).collect()))
     assert after == before
+
+
+def test_ivf_index_with_trained_minibatch_quantizer(spark, tmp_path):
+    """The production train→ingest→serve shape: mini-batch-train the
+    quantizer, build the index under it, serve; a reopen WITHOUT cents
+    inherits the stored quantizer bit-exactly."""
+    from edgar_crawler_spark.operators.similarity import kmeans_refine_minibatch
+
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    cents, _ = kmeans_refine_minibatch(emb, iterations=2, fraction=0.5)
+    path = str(tmp_path / "ivf_trained")
+    idx = IncrementalIVFIndex(spark, path, cents=cents, n_buckets=8)
+    idx.add(emb)
+    qids = [r.vec_id for r in emb.select("vec_id").limit(3).collect()]
+    out = idx.topk(emb.filter(f"vec_id in ({','.join(map(str, qids))})"), k=3).toPandas()
+    assert set(out.query_id) == set(qids)
+    assert (out.groupby("query_id").size() <= 3).all()
+    assert (out.query_id != out.neighbor_id).all()
+
+    idx2 = IncrementalIVFIndex(spark, path, n_buckets=8)
+    assert idx2.cents == cents
