@@ -1777,6 +1777,30 @@ def q_video_frames(spark, sf):
     )
 
 
+def q_video_frame_near_dup(spark, sf):
+    """Frame-level perceptual dedup / static-scene detection: sampled
+    AVI frames → aHash → generic banded Hamming near-dup pairs
+    (pigeonhole recall, exact bit_count verify) — the multimodal ops
+    composing with the dedup family. Rows-only (no SQL engine decodes
+    AVI); the Hamming operator itself is oracle-checked on the
+    documents table (dedup_simhash_near_dup_pairs)."""
+    from edgar_crawler_spark.fixtures.payload import video_df
+    from edgar_crawler_spark.operators.dedup import hamming_near_dup_pairs
+    from edgar_crawler_spark.operators.multimodal import sample_video_frames
+
+    frames = (
+        sample_video_frames(video_df(spark, 48), every_n=1)
+        .filter(F.col("decode_ok") == "ok")
+        .select(
+            F.concat_ws(":", "media_id", "frame_idx").alias("frame_id"),
+            "frame_phash",
+        )
+    )
+    return hamming_near_dup_pairs(
+        frames, id_col="frame_id", hash_col="frame_phash", bits=64, max_hamming=6
+    )
+
+
 def q_text_line_dedup(spark, sf):
     """C4-style boilerplate-line removal (operators/text.py:line_dedup)
     over a derived multi-line corpus: the synthetic documents are
@@ -2326,6 +2350,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf_index_topk": (q_ann_ivf_index, SQL_ANN_IVF),
     "audio_wav_features": (q_audio_features, None),
     "video_frame_sample": (q_video_frames, None),
+    "video_frame_near_dup": (q_video_frame_near_dup, None),
     "text_line_dedup": (q_text_line_dedup, SQL_TEXT_LINE_DEDUP),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "text_scrub_pii": (q_text_scrub_pii, SQL_TEXT_SCRUB_PII),
@@ -2349,7 +2374,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "a3_per_host_rank": (q_a3_per_host_rank, SQL_A3),
     "a5_agg_summary": (q_a5_agg_summary, SQL_A5),
     "a6_argmax_per_group": (q_a6_argmax, SQL_A6),
-    "percentile_summary": (q_percentile_summary, SQL_PERCENTILE_SUMMARY),
     "t3_collapse_whitespace": (q_t3_collapse_whitespace, SQL_T3),
     "t13_type_dispatch": (q_t13_dispatch, SQL_T13),
     # ev_* (streaming-shaped) registered early: the driver's sampler
@@ -2384,6 +2408,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # multiply evidenced (green in r01–r03 driver windows) → tail slot
     # so the new video row fits inside the ~50-row sampler window
     "tpch_q5_shape": (q_tpch_q5_shape, SQL_TPCH_Q5),
+    "percentile_summary": (q_percentile_summary, SQL_PERCENTILE_SUMMARY),
     "ev_json_props": (q_ev_json_props, SQL_EV_JSON),
     "tpch_q3_shape": (q_tpch_q3_shape, SQL_TPCH_Q3),
     "rollup_summary": (q_rollup_summary, SQL_ROLLUP),

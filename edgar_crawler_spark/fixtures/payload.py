@@ -127,12 +127,44 @@ def make_video_frames(i: int) -> "np.ndarray":
     """Pure row-id → (n_frames, h, w, 3) uint8 frames. Shared by the
     Spark generator and the tests' reference oracle (same contract as
     :func:`make_payload_row`). Widths include non-multiple-of-4 strides
-    so DIB scanline padding is exercised."""
+    so DIB scanline padding is exercised.
+
+    Frames are TEMPORALLY CORRELATED like real video: smooth sinusoid
+    'scenes' whose phase drifts slowly frame-to-frame (camera motion),
+    with a hard SCENE CUT halfway through every even-id clip.  So
+    within-scene consecutive frames are perceptual near-duplicates and
+    cut boundaries are not — the signal the frame-dedup /
+    scene-detection composite consumes."""
     rng = np.random.default_rng(7000 + i)
     n_frames = 4 + i % 5
     w = 10 + (i % 3) * 2  # 10/12/14 px → stride padding on 10 & 14
     h = 8 + (i % 4) * 2
-    return rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+
+    def scene_params():
+        return (
+            rng.uniform(0.5, 2.0, size=3),  # fy per channel
+            rng.uniform(0.5, 2.0, size=3),  # fx per channel
+            rng.uniform(0.0, 1.0, size=3),  # phase per channel
+        )
+
+    ys = np.linspace(0.0, 1.0, h)[:, None]
+    xs = np.linspace(0.0, 1.0, w)[None, :]
+    fy, fx, ph = scene_params()
+    cut_at = n_frames // 2 if i % 2 == 0 and n_frames >= 4 else None
+    frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    drift = 0.0
+    for k in range(n_frames):
+        if k == cut_at:
+            fy, fx, ph = scene_params()  # hard cut: new scene
+            drift = 0.0
+        px = np.empty((h, w, 3))
+        for c in range(3):
+            px[:, :, c] = 128 + 110 * np.sin(
+                2 * np.pi * (fy[c] * ys + fx[c] * xs + ph[c] + drift)
+            )
+        frames[k] = np.clip(px, 0, 255).astype(np.uint8)
+        drift += 0.01
+    return frames
 
 
 def video_df(spark: SparkSession, n: int = 48) -> DataFrame:

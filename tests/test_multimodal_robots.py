@@ -75,6 +75,56 @@ def test_video_frame_sample_real_kernel(spark):
     assert out.media_id.nunique() == 30
 
 
+def test_video_frame_near_dup_respects_scene_cuts(spark):
+    """The multimodal×dedup composite: consecutive frames within a
+    scene are Hamming near-dups of each other, frames across the hard
+    scene cut are not, and pairs never mix different videos in this
+    fixture."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.fixtures.payload import make_video_frames, video_df
+    from edgar_crawler_spark.operators.dedup import hamming_near_dup_pairs
+
+    frames = (
+        sample_video_frames(video_df(spark, 20), every_n=1)
+        .filter(F.col("decode_ok") == "ok")
+        .select(
+            F.concat_ws(":", "media_id", "frame_idx").alias("frame_id"),
+            "frame_phash",
+        )
+    )
+    pairs = hamming_near_dup_pairs(
+        frames, id_col="frame_id", hash_col="frame_phash", bits=64, max_hamming=6
+    ).toPandas()
+    assert len(pairs) > 0
+
+    def parse(s):
+        vid, idx = s.rsplit(":", 1)
+        return vid, int(idx)
+
+    for _, r in pairs.iterrows():
+        va, ia = parse(r.frame_a)
+        vb, ib = parse(r.frame_b)
+        assert va == vb, "different scenes must not collide in this fixture"
+        i = int(va[3:])
+        n = len(make_video_frames(i))
+        cut = n // 2 if i % 2 == 0 and n >= 4 else None
+        if cut is not None:  # pairs never straddle the hard cut
+            assert (ia < cut) == (ib < cut), (r.frame_a, r.frame_b)
+    # every scene's consecutive-frame pair is found (recall guarantee)
+    got = {(r.frame_a, r.frame_b) for _, r in pairs.iterrows()}
+    for i in range(20):
+        if i % 13 == 5 or i % 11 == 3:
+            continue
+        n = len(make_video_frames(i))
+        cut = n // 2 if i % 2 == 0 and n >= 4 else None
+        for k in range(n - 1):
+            if cut is not None and k + 1 == cut:
+                continue
+            pair = (f"vid{i:05d}:{k}", f"vid{i:05d}:{k + 1}")
+            assert pair in got, pair
+
+
 def test_video_every_n_one_is_all_frames(spark):
     from edgar_crawler_spark.fixtures.payload import make_video_frames, video_df
 
