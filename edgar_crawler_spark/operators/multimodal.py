@@ -192,6 +192,75 @@ def sample_video_frames(
     return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
+IMAGE_STATS_FIELDS = [
+    StructField("brightness", DoubleType()),  # mean luma / 255
+    StructField("contrast", DoubleType()),  # luma std / 255
+    StructField("colorfulness", DoubleType()),  # Hasler-Süsstrunk metric
+    StructField("gray_entropy", DoubleType()),  # bits over 64 luma bins
+    StructField("stats_ok", StringType()),  # ok | <error class>
+]
+
+
+def image_stats(
+    df: DataFrame, bytes_col: str = "bytes", num_partitions: int | None = None
+) -> DataFrame:
+    """Per-image quality signals for training-data gating (the
+    LAION-style pre-filters that need no model): mean brightness, RMS
+    contrast, Hasler–Süsstrunk colorfulness, and gray-level entropy —
+    near-black/blank, flat, or synthetic-flood images gate out on
+    these before any expensive scoring.  REAL kernel over the
+    self-describing binary column (functions/imaging.py decode);
+    per-row error recording, never throws; input columns pass through;
+    explicit repartition pins parallelism (AQE coalescing exemption)."""
+    stat_names = {f.name for f in IMAGE_STATS_FIELDS}
+    passthrough = [f for f in df.schema.fields if f.name not in stat_names]
+    out_schema = StructType(passthrough + IMAGE_STATS_FIELDS)
+    keep = [f.name for f in passthrough]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(num_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from edgar_crawler_spark.functions.imaging import decode_image
+
+        for pdf in batches:
+            rows = {f.name: [] for f in IMAGE_STATS_FIELDS}
+            for data in pdf[bytes_col]:
+                try:
+                    px = decode_image(bytes(data)).astype(np.float64)
+                    luma = px @ np.array([0.299, 0.587, 0.114])
+                    rg = px[:, :, 0] - px[:, :, 1]
+                    yb = 0.5 * (px[:, :, 0] + px[:, :, 1]) - px[:, :, 2]
+                    cf = float(
+                        np.hypot(rg.std(), yb.std())
+                        + 0.3 * np.hypot(rg.mean(), yb.mean())
+                    )
+                    hist = np.bincount(
+                        (luma.ravel() // 4).astype(np.int64).clip(0, 63), minlength=64
+                    ).astype(np.float64)
+                    p = hist[hist > 0] / hist.sum()
+                    # all values computed BEFORE any append: a mid-row
+                    # failure must not leave ragged columns
+                    vals = {
+                        "brightness": round(float(luma.mean()) / 255.0, 6),
+                        "contrast": round(float(luma.std()) / 255.0, 6),
+                        "colorfulness": round(cf / 255.0, 6),
+                        "gray_entropy": round(float((p * np.log2(p)).sum()) * -1 + 0.0, 6),
+                        "stats_ok": "ok",
+                    }
+                except Exception as e:
+                    vals = dict.fromkeys(rows, None)
+                    vals["stats_ok"] = type(e).__name__
+                for k, v in vals.items():
+                    rows[k].append(v)
+            out = pdf[keep].copy()
+            for k, v in rows.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
 AUDIO_FEATURES_FIELDS = [
     StructField("sample_rate", IntegerType()),
     StructField("n_channels", IntegerType()),

@@ -47,6 +47,40 @@ def test_resize_images_real_kernel(spark):
         assert px.shape == (8, 8, 3)
 
 
+def test_image_stats_analytic_values(spark):
+    """Flat gray: brightness = v/255, zero contrast/colorfulness/
+    entropy. Checkerboard: contrast ~0.5, entropy 1 bit. Red flood:
+    colorful. Poisoned blob: recorded, not thrown."""
+    import pandas as pd
+
+    from edgar_crawler_spark.functions.imaging import encode_png
+    from edgar_crawler_spark.operators.multimodal import image_stats
+
+    flat = np.full((16, 16, 3), 100, np.uint8)
+    checker = np.zeros((16, 16, 3), np.uint8)
+    checker[::2, ::2] = 255
+    checker[1::2, 1::2] = 255
+    red = np.zeros((16, 16, 3), np.uint8)
+    red[:, :, 0] = 200
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["flat", "checker", "red", "bad"],
+                "bytes": [encode_png(flat), encode_png(checker), encode_png(red), b"junk"],
+            }
+        )
+    )
+    out = {r.image_id: r for r in image_stats(df).collect()}
+    f = out["flat"]
+    assert abs(f.brightness - 100 / 255) < 1e-6
+    assert f.contrast == 0.0 and f.colorfulness == 0.0 and f.gray_entropy == 0.0
+    c = out["checker"]
+    assert abs(c.contrast - 0.5) < 1e-6 and abs(c.gray_entropy - 1.0) < 1e-6
+    # a pure flood has only the mean term: 0.3·hypot(200,100)/255 ≈ 0.263
+    assert abs(out["red"].colorfulness - 0.263067) < 1e-6
+    assert out["bad"].stats_ok != "ok" and out["bad"].brightness is None
+
+
 def test_video_frame_sample_real_kernel(spark):
     """Uncompressed-AVI frame sampling: every-Nth indices, lossless
     pixel parity vs the fixture's reference frames, recorded (not
