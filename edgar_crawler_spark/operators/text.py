@@ -193,35 +193,33 @@ def cross_dup_ngram_stats(docs: DataFrame, n: int = 5, text_col: str = "text") -
     shared boilerplate — licence blocks, navigation chrome, templated
     paragraphs — that per-doc stats cannot see.
 
-    Plan: explode n-grams → map-side-combined groupBy (doc_id, gram) →
-    gram-level doc-count (second combined groupBy over the already
-    collapsed per-doc rows) → semi-join back.  Every shuffle carries
-    distinct (doc, gram) or (gram) keys, never the raw window stream.
-    At 100 TB the gram string itself is the shuffle payload; a
-    production run would key by xxhash64(gram) (the oracle keeps the
-    string — DuckDB 1.0 has no xxhash64, and at sf scales the string
-    is measured cheaper than an oracle-portable hash, CLAUDE.md r03)."""
+    Plan: ONE explode → map-side-combined groupBy (doc_id, gram) →
+    gram-partitioned window count (how many docs carry the gram) →
+    one conditional-sum groupBy(doc_id).  Exactly three shuffles over
+    distinct (doc, gram) rows; the exploded window stream is derived
+    once (the naive three-branch formulation re-scans and re-explodes
+    the corpus per branch — 3× the dominant cost at 100 TB).  The
+    gram string itself is the shuffle payload; a production run would
+    key by xxhash64(gram) (the oracle keeps the string — DuckDB 1.0
+    has no xxhash64, and at sf scales the string is measured cheaper
+    than an oracle-portable hash, CLAUDE.md r03)."""
+    from pyspark.sql import Window
+
     per = _word_ngrams(docs, n, text_col).groupBy("doc_id", "gram").agg(
         F.count("*").alias("c")
     )
-    shared = (
-        per.groupBy("gram")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    hits = (
-        per.join(shared, "gram", "left_semi")
+    nd = F.count("*").over(Window.partitionBy("gram"))
+    return (
+        per.withColumn("nd", nd)
         .groupBy("doc_id")
-        .agg(F.sum("c").alias("hit"))
-    )
-    totals = per.groupBy("doc_id").agg(F.sum("c").alias("nw"))
-    return totals.join(hits, "doc_id", "left").select(
-        "doc_id",
-        F.col("nw").cast("long").alias("n_windows"),
-        F.round(
-            F.coalesce(F.col("hit"), F.lit(0)) / F.col("nw").cast("double"), 6
-        ).alias("cross_dup_ratio"),
+        .agg(
+            F.sum("c").cast("long").alias("n_windows"),
+            F.round(
+                F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0)))
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("cross_dup_ratio"),
+        )
     )
 
 
