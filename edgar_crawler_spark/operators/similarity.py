@@ -464,9 +464,15 @@ def semantic_dedup(
         cents = seed_centroids(n_cells, dim)
     if _use_broadcast(cents, broadcast_centroids):
         withc = _with_cell_broadcast(emb, cents, vec_col)
+        # the assign kernel feeds FOUR consumers (cap agg, both join
+        # legs, the output projection) — materialize once so the
+        # Python stage runs once, not per branch
+        slim = withc.select(
+            "vec_id", "cell", F.col(vec_col).alias("v")
+        ).localCheckpoint(eager=False)
     else:
         withc = emb.withColumn("cell", _cell_col(F.col(vec_col), cents))
-    slim = withc.select("vec_id", "cell", F.col(vec_col).alias("v"))
+        slim = withc.select("vec_id", "cell", F.col(vec_col).alias("v"))
     ok = (
         slim.groupBy("cell")
         .agg(F.count("*").alias("__sz"))
