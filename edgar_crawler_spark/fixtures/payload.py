@@ -53,7 +53,11 @@ def make_payload_row(i: int, seed: int = DEFAULT_SEED) -> dict:
     w = 16 + int(i % 3) * 8  # 16/24/32 px
     h = 16 + int(i % 5) * 4
     pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    fmt = "png" if i % 3 else "jpeg"
+    # lossy rows are 1 in 3; of those, every 7th is REAL baseline JPEG
+    # (functions/jpegcodec.py) and the rest the cheap QNT stand-in — the
+    # frontier fetch benchmark pays this codec per URL, so the bulk stays
+    # on the ~50x-cheaper path while the real decoder runs end-to-end.
+    fmt = "png" if i % 3 else ("jpeg" if i % 21 == 0 else "qnt")
     cik = 100000 + i % 997
     image_id = f"{cik:0>10}-22-{i:06d}"  # = accession in seed_index
     return {
@@ -168,14 +172,16 @@ def make_video_frames(i: int) -> "np.ndarray":
 
 
 def video_df(spark: SparkSession, n: int = 48) -> DataFrame:
-    """Deterministic synthetic video corpus: uncompressed RGB24 AVI
-    clips whose frames are a pure function of the row id. Every 13th
-    blob is poisoned (truncated RIFF) and every 11th is patched to a
-    compressed fourcc (MJPG) — exercising both recorded-error paths of
+    """Deterministic synthetic video corpus: AVI clips whose frames are
+    a pure function of the row id — most uncompressed RGB24, every 7th
+    REAL MJPEG (per-frame baseline JPEG at quality 98, the lossy decode
+    path through functions/jpegcodec.py). Every 13th blob is poisoned
+    (truncated RIFF) and every 11th is patched to an UNSUPPORTED
+    compressed fourcc (H264) — exercising both recorded-error paths of
     :func:`~edgar_crawler_spark.operators.multimodal.sample_video_frames`."""
 
     def gen(batches):
-        from edgar_crawler_spark.functions.imaging import encode_avi_rgb
+        from edgar_crawler_spark.functions.imaging import encode_avi_mjpg, encode_avi_rgb
 
         for pdf in batches:
             rows = {"media_id": [], "bytes": []}
@@ -185,11 +191,16 @@ def video_df(spark: SparkSession, n: int = 48) -> DataFrame:
                 if i % 13 == 5:
                     rows["bytes"].append(b"RIFF\x10\x00\x00\x00AVI truncated")
                     continue
+                if i % 11 != 3 and i % 7 == 1:
+                    rows["bytes"].append(
+                        encode_avi_mjpg(make_video_frames(i), fps=24, quality=98)
+                    )
+                    continue
                 data = encode_avi_rgb(make_video_frames(i), fps=24)
-                if i % 11 == 3:  # byte-surgery: claim a compressed codec
+                if i % 11 == 3:  # byte-surgery: claim an unsupported codec
                     data = bytearray(data)
                     at = bytes(data).find(b"strf")
-                    data[at + 8 + 16 : at + 8 + 20] = b"MJPG"
+                    data[at + 8 + 16 : at + 8 + 20] = b"H264"
                     data = bytes(data)
                 rows["bytes"].append(data)
             yield pd.DataFrame(rows)

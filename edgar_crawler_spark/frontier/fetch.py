@@ -251,7 +251,11 @@ def fetch_wave(
         from edgar_crawler_spark.frontier.politeness import RobotsGate
 
         if decode:
-            from edgar_crawler_spark.functions.imaging import average_hash, decode_image
+            from edgar_crawler_spark.functions.imaging import (
+                average_hash,
+                decode_image,
+                sniff_format,
+            )
 
         def validate(body):
             """Same row semantics as multimodal.decode_and_validate."""
@@ -261,7 +265,7 @@ def fetch_wave(
                 return (
                     px.shape[1],
                     px.shape[0],
-                    "png" if data[:4] == b"\x89PNG"[:4] else "jpeg",
+                    sniff_format(data),
                     average_hash(px),
                     "ok",
                 )

@@ -1,16 +1,19 @@
 """Image payload codecs + perceptual hashing (numpy + stdlib zlib only).
 
-The container has no PIL/libjpeg, so:
+The container has no PIL/libjpeg, but both formats are REAL codecs:
 
-* ``png``  — a real, spec-compliant minimal PNG codec (8-bit RGB,
-  filter 0, zlib). Lossless round-trip, readable by any PNG reader.
-* ``jpeg`` — STAND-IN LOSSY CODEC ("QNT1" container): uniform pixel
-  quantization + zlib. It is a deterministic fake standing in for a
-  JPEG encoder (which is unavailable here); it preserves the property
-  the pipeline verifies — decoded pixels match the source within
-  PSNR >= 40 dB — and the Spark-side plumbing (binary column, Arrow
-  batch decode, schema, phash) is real. Swap `_encode_qnt/_decode_qnt`
-  for a real JPEG codec on a cluster with libjpeg present.
+* ``png``  — a spec-compliant minimal PNG codec (8-bit RGB, filter 0,
+  zlib). Lossless round-trip, readable by any PNG reader.
+* ``jpeg`` — a real baseline JPEG (ITU-T81) codec implemented in
+  functions/jpegcodec.py: Annex-K tables, DCT, Huffman, byte stuffing,
+  restart markers, 4:2:0 and grayscale modes. Default quality 98 holds
+  the pipeline's PSNR >= 40 dB invariant even on noise fixtures.
+* ``qnt``  — the round-3 stand-in lossy codec ("QNT1" container:
+  uniform quantization + zlib), kept for two reasons: legacy blobs in
+  persisted tables still decode, and it is ~50x cheaper per image than
+  a pure-Python JPEG decode, so bulk SYNTHETIC fixtures use it for the
+  majority of lossy rows (fixtures/payload.py mixes in real JPEG on a
+  deterministic subset so that path is exercised end-to-end).
 
 Per-row invariant (BASELINE.json input_hint): decoded-pixel allclose
 (PSNR >= 40 dB for lossy) + caption equality.
@@ -124,7 +127,11 @@ def _decode_qnt(data: bytes) -> np.ndarray:
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
-    if fmt == "jpeg":  # stand-in lossy codec, see module docstring
+    if fmt == "jpeg":
+        from edgar_crawler_spark.functions.jpegcodec import encode_jpeg
+
+        return encode_jpeg(pixels)
+    if fmt == "qnt":  # cheap stand-in lossy codec, see module docstring
         return _encode_qnt(pixels)
     raise ValueError(f"unsupported fmt: {fmt}")
 
@@ -135,7 +142,22 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_png(data)
     if data[:4] == _QNT_MAGIC:
         return _decode_qnt(data)
+    if data[:2] == b"\xff\xd8":
+        from edgar_crawler_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError("unknown image container")
+
+
+def sniff_format(data: bytes) -> str | None:
+    """Container label from magic bytes (None = unrecognized)."""
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:4] == _QNT_MAGIC:
+        return "qnt"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    return None
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -146,15 +168,17 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 # --------------------------------------------------------------------------
-# AVI (RIFF) video container — uncompressed RGB24 (BI_RGB) streams.
+# AVI (RIFF) video container — uncompressed RGB24 (BI_RGB) and MJPEG.
 #
-# Like the WAV kernel, this needs NO codec library: BI_RGB frames are raw
-# DIB bitmaps (bottom-up rows, BGR byte order, scanlines padded to 4-byte
+# Like the WAV kernel, BI_RGB needs NO codec library: frames are raw DIB
+# bitmaps (bottom-up rows, BGR byte order, scanlines padded to 4-byte
 # stride) inside standard RIFF chunks, all parseable with struct + numpy.
-# The writer emits spec-compliant files (hdrl/avih + strl/strh+strf +
-# movi/00db + idx1) that any AVI reader opens; the reader raises
-# NotImplementedError for COMPRESSED streams (biCompression != 0) — those
-# genuinely need ffmpeg/pyav, and sample_video_frames records that per row.
+# MJPEG streams (fourcc 'MJPG', one independent baseline JPEG per '00dc'
+# chunk) ride the real JPEG codec in functions/jpegcodec.py — incl. the
+# MJPEG no-DHT convention. The writers emit spec-compliant files
+# (hdrl/avih + strl/strh+strf + movi + idx1) that any AVI reader opens;
+# remaining compressed fourccs (H.264 etc.) raise NotImplementedError
+# naming the codec, and sample_video_frames records that per row.
 # --------------------------------------------------------------------------
 
 
@@ -168,56 +192,87 @@ def _le_list(kind: bytes, payload: bytes) -> bytes:
     return _le_chunk(b"LIST", kind + payload)
 
 
+def _assemble_avi(
+    frame_payloads: list[bytes],
+    w: int,
+    h: int,
+    fps: int,
+    handler: bytes,
+    compression: int,
+    chunk_tag: bytes,
+) -> bytes:
+    n = len(frame_payloads)
+    max_bytes = max(len(p) for p in frame_payloads)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIihhhh",
+        # fccType fccHandler flags prio lang init scale rate start length
+        # sugBufSize quality sampleSize rcFrame(l,t,r,b)
+        b"vids", handler, 0, 0, 0, 0, 1, fps, 0, n, max_bytes, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, max_bytes, 0, 0, 0, 0
+    )
+    hdrl = _le_list(
+        b"hdrl",
+        _le_chunk(b"avih", avih)
+        + _le_list(b"strl", _le_chunk(b"strh", strh) + _le_chunk(b"strf", strf)),
+    )
+    movi = _le_list(b"movi", b"".join(_le_chunk(chunk_tag, p) for p in frame_payloads))
+    # idx1: one entry per frame, offsets relative to the 'movi' fourcc
+    idx_entries, off = [], 4
+    for p in frame_payloads:
+        idx_entries.append(struct.pack("<4sIII", chunk_tag, 0x10, off, len(p)))
+        off += 8 + len(p) + (len(p) % 2)
+    idx1 = _le_chunk(b"idx1", b"".join(idx_entries))
+    return _le_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
 def encode_avi_rgb(frames: np.ndarray, fps: int = 30) -> bytes:
     """(n, h, w, 3) uint8 RGB → uncompressed AVI bytes (fourcc 'DIB ',
     biCompression=BI_RGB, bottom-up BGR scanlines, 4-byte stride)."""
     n, h, w, c = frames.shape
     assert c == 3 and frames.dtype == np.uint8
     stride = (w * 3 + 3) & ~3
-    frame_bytes = stride * h
 
     def dib(frame: np.ndarray) -> bytes:
         rows = np.zeros((h, stride), np.uint8)
         rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
         return rows.tobytes()
 
-    avih = struct.pack(
-        "<IIIIIIIIIIIIII",
-        1_000_000 // fps,  # dwMicroSecPerFrame
-        frame_bytes * fps,  # dwMaxBytesPerSec
-        0,  # dwPaddingGranularity
-        0x10,  # AVIF_HASINDEX
-        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
-    )
-    strh = struct.pack(
-        "<4s4sIHHIIIIIIIihhhh",
-        # fccType fccHandler flags prio lang init scale rate start length
-        # sugBufSize quality sampleSize rcFrame(l,t,r,b)
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0,
-        0, 0, w, h,
-    )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
-    hdrl = _le_list(
-        b"hdrl",
-        _le_chunk(b"avih", avih)
-        + _le_list(b"strl", _le_chunk(b"strh", strh) + _le_chunk(b"strf", strf)),
-    )
-    movi_payload = b"".join(_le_chunk(b"00db", dib(f)) for f in frames)
-    movi = _le_list(b"movi", movi_payload)
-    # idx1: one entry per frame, offsets relative to the 'movi' fourcc
-    idx_entries, off = [], 4
-    for _ in range(n):
-        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, frame_bytes))
-        off += 8 + frame_bytes + (frame_bytes % 2)
-    idx1 = _le_chunk(b"idx1", b"".join(idx_entries))
-    return _le_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+    return _assemble_avi([dib(f) for f in frames], w, h, fps, b"DIB ", 0, b"00db")
+
+
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
+def encode_avi_mjpg(frames: np.ndarray, fps: int = 30, quality: int = 90) -> bytes:
+    """(n, h, w, 3) uint8 RGB → MJPEG AVI bytes: each '00dc' chunk is an
+    independent baseline JPEG (functions/jpegcodec.py), biCompression /
+    fccHandler 'MJPG' — the standard motion-JPEG-in-AVI layout."""
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    from edgar_crawler_spark.functions.jpegcodec import encode_jpeg
+
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+    return _assemble_avi(payloads, w, h, fps, b"MJPG", _MJPG_FOURCC, b"00dc")
 
 
 def decode_avi_rgb(data: bytes) -> tuple[float, np.ndarray]:
     """AVI bytes → (fps, (n, h, w, 3) uint8 RGB frames). Handles the
     BI_RGB 24-bit streams :func:`encode_avi_rgb` writes (and any other
-    writer's uncompressed-DIB video). Compressed streams raise
-    NotImplementedError naming the codec — that path needs ffmpeg."""
+    writer's uncompressed-DIB video) plus MJPEG streams (fourcc 'MJPG',
+    per-frame baseline JPEG — decoded by functions/jpegcodec.py, incl.
+    the no-DHT MJPEG convention). Other compressed fourccs raise
+    NotImplementedError naming the codec — those need ffmpeg."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI/RIFF container")
 
@@ -249,13 +304,24 @@ def decode_avi_rgb(data: bytes) -> tuple[float, np.ndarray]:
             pos = pos + 8 + size + (size % 2)
 
     walk(data, 12, len(data))
+    fps_out = (rate / scale) if scale else 0.0
+    if not frame_chunks or not w or not h:
+        raise ValueError("no decodable video frames in AVI")
+    if compression == _MJPG_FOURCC:
+        from edgar_crawler_spark.functions.jpegcodec import decode_jpeg
+
+        decoded = [decode_jpeg(c) for c in frame_chunks]
+        for i, f in enumerate(decoded):
+            if f.shape != (h, w, 3):
+                raise ValueError(
+                    f"MJPEG frame {i} is {f.shape[1]}x{f.shape[0]}, header says {w}x{h}"
+                )
+        return fps_out, np.stack(decoded)
     if compression not in (0, None):
         fourcc = struct.pack("<I", compression)
         raise NotImplementedError(
             f"compressed AVI stream {fourcc!r} requires ffmpeg/pyav (absent here)"
         )
-    if not frame_chunks or not w or not h:
-        raise ValueError("no decodable video frames in AVI")
     if bitcount not in (24, None):
         raise NotImplementedError(f"only 24-bit DIB supported, got {bitcount}")
     stride = (w * 3 + 3) & ~3
@@ -265,8 +331,7 @@ def decode_avi_rgb(data: bytes) -> tuple[float, np.ndarray]:
             raise ValueError(f"frame {i} truncated: {len(chunk)} < {stride * h}")
         rows = np.frombuffer(chunk[: stride * h], np.uint8).reshape(h, stride)
         frames[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # top-down, RGB
-    fps = (rate / scale) if scale else 0.0
-    return fps, frames
+    return fps_out, frames
 
 
 def average_hash(pixels: np.ndarray) -> int:

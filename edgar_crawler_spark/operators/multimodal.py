@@ -60,7 +60,11 @@ def decode_and_validate(
     df = df.repartition(num_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from edgar_crawler_spark.functions.imaging import average_hash, decode_image
+        from edgar_crawler_spark.functions.imaging import (
+            average_hash,
+            decode_image,
+            sniff_format,
+        )
 
         for pdf in batches:
             rows = {"w": [], "h": [], "fmt": [], "phash": [], "decode_ok": []}
@@ -70,7 +74,7 @@ def decode_and_validate(
                     px = decode_image(data)
                     rows["w"].append(px.shape[1])
                     rows["h"].append(px.shape[0])
-                    rows["fmt"].append("png" if data[:4] == b"\x89PNG"[:4] else "jpeg")
+                    rows["fmt"].append(sniff_format(data))
                     rows["phash"].append(average_hash(px))
                     rows["decode_ok"].append("ok")
                 except Exception as e:

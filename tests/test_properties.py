@@ -68,7 +68,7 @@ def test_h48_range_and_determinism(s):
     assert v == h48_py(s)
 
 
-@given(st.integers(0, 10_000), st.sampled_from(["png", "jpeg"]))
+@given(st.integers(0, 10_000), st.sampled_from(["png", "jpeg", "qnt"]))
 @settings(max_examples=50, deadline=None)
 def test_codec_roundtrip_properties(seed, fmt):
     rng = np.random.default_rng(seed)
