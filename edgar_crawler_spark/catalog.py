@@ -1816,6 +1816,21 @@ def q_image_stats(spark, sf):
     )
 
 
+def q_image_transcode(spark, sf):
+    """Storage transcode pass (operators/multimodal.py:transcode_images):
+    decode every payload container and re-encode as baseline JPEG
+    (functions/jpegcodec.py), keeping the original when JPEG does not
+    shrink it — the compress-for-storage step a training-data lake runs
+    over raw crawled images. Rows-only (no SQL engine encodes JPEG);
+    the PSNR/kept/poisoned semantics are pinned in pytest."""
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import transcode_images
+
+    return transcode_images(payload_df(spark, 128), quality=95).select(
+        "image_id", "fmt", "in_bytes", "out_bytes", "transcode_ok"
+    )
+
+
 def q_text_line_dedup(spark, sf):
     """C4-style boilerplate-line removal (operators/text.py:line_dedup)
     over a derived multi-line corpus: the synthetic documents are
@@ -2367,6 +2382,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "video_frame_sample": (q_video_frames, None),
     "video_frame_near_dup": (q_video_frame_near_dup, None),
     "image_stats": (q_image_stats, None),
+    "image_transcode": (q_image_transcode, None),
     "text_line_dedup": (q_text_line_dedup, SQL_TEXT_LINE_DEDUP),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "text_scrub_pii": (q_text_scrub_pii, SQL_TEXT_SCRUB_PII),

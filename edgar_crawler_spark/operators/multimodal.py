@@ -1,18 +1,18 @@
 """Multimodal column operators: opaque ``binary`` payloads + typed
 metadata, processed through Arrow-batched ``mapInPandas`` only.
 
-Real here (no image libs needed): PNG/stand-in-lossy decode
-(functions/imaging.py), validation (decode → dims/format/aHash),
-nearest-neighbour resize (pure numpy indexing).
+Real here (no image libs needed): PNG + baseline JPEG codecs
+(functions/imaging.py, functions/jpegcodec.py), validation (decode →
+dims/format/aHash), nearest-neighbour resize (pure numpy indexing),
+storage transcode (any container → JPEG with recorded PSNR).
 
 Also real: WAV/RIFF audio feature extraction (stdlib ``wave`` +
-numpy) and uncompressed-AVI video frame sampling (RIFF + BI_RGB DIB
-parse, functions/imaging.py) — neither needs a codec library.
+numpy) and AVI video frame sampling — uncompressed BI_RGB DIB *and*
+MJPEG streams (per-frame baseline JPEG) — no codec library needed.
 
 STUBBED (container lacks codec libs — plumbing is real, the error is
-recorded per row): JPEG decode for foreign containers and compressed
-video streams (MJPEG/H.264 fourccs) — swap the kernel on a cluster
-with PIL/ffmpeg present.
+recorded per row): progressive JPEG and non-MJPEG compressed video
+(H.264-class fourccs) — swap the kernel on a cluster with PIL/ffmpeg.
 """
 
 from __future__ import annotations
@@ -112,6 +112,92 @@ def resize_images(df: DataFrame, w: int, h: int, bytes_col: str = "bytes") -> Da
                 resized.append(encode_png(px[ys][:, xs]))
             out = pdf[keep].copy()
             out["resized"] = pd.Series(resized, dtype=object)
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+TRANSCODE_SCHEMA_FIELDS = [
+    StructField("transcoded", BinaryType()),
+    StructField("in_bytes", IntegerType()),
+    StructField("out_bytes", IntegerType()),
+    StructField("psnr_db", DoubleType()),
+    StructField("transcode_ok", StringType()),  # ok | kept | <error class>
+]
+
+
+def transcode_images(
+    df: DataFrame,
+    quality: int = 90,
+    bytes_col: str = "bytes",
+    min_saving: float = 0.0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Storage transcode: decode any supported container (PNG / QNT /
+    baseline JPEG) and re-encode as baseline JPEG at ``quality``
+    (functions/jpegcodec.py) — the compress-for-storage pass a
+    training-data lake runs over raw crawled payloads.
+
+    Per row: ``transcoded`` (JPEG bytes), ``in_bytes``/``out_bytes``,
+    ``psnr_db`` (re-encoded vs the DECODED source pixels — the original
+    pre-encode pixels no longer exist at this stage), ``transcode_ok``.
+    When the transcode does not shrink the blob by at least
+    ``min_saving`` (fraction of input size), the original bytes are
+    kept verbatim and the row is marked ``kept`` — re-compressing an
+    already-small JPEG only burns quality. Decode failures are recorded
+    per row, never thrown (poisoned blobs must not kill a 100 TB job).
+
+    Same compute-then-append batch shape as image_stats: every column
+    list gets exactly one value per input row even when a mid-batch row
+    fails, so Arrow never sees ragged columns. Explicit repartition in
+    front of the Python stage (AQE byte-size coalescing would strangle
+    this CPU-bound kernel — see decode_and_validate)."""
+    passthrough = [
+        f for f in df.schema.fields if f.name not in {x.name for x in TRANSCODE_SCHEMA_FIELDS}
+    ]
+    out_schema = StructType(passthrough + TRANSCODE_SCHEMA_FIELDS)
+    keep = [f.name for f in passthrough]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(num_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from edgar_crawler_spark.functions.imaging import decode_image, psnr
+        from edgar_crawler_spark.functions.jpegcodec import encode_jpeg
+
+        for pdf in batches:
+            rows = {
+                "transcoded": [],
+                "in_bytes": [],
+                "out_bytes": [],
+                "psnr_db": [],
+                "transcode_ok": [],
+            }
+            for data in pdf[bytes_col]:
+                data = bytes(data)
+                try:
+                    px = decode_image(data)
+                    blob = encode_jpeg(px, quality=quality)
+                    if len(blob) > len(data) * (1.0 - min_saving):
+                        rows["transcoded"].append(data)
+                        rows["out_bytes"].append(len(data))
+                        rows["psnr_db"].append(float("inf"))
+                        rows["transcode_ok"].append("kept")
+                    else:
+                        rows["transcoded"].append(blob)
+                        rows["out_bytes"].append(len(blob))
+                        rows["psnr_db"].append(psnr(px, decode_image(blob)))
+                        rows["transcode_ok"].append("ok")
+                    rows["in_bytes"].append(len(data))
+                except Exception as e:
+                    rows["transcoded"].append(None)
+                    rows["in_bytes"].append(len(data))
+                    rows["out_bytes"].append(None)
+                    rows["psnr_db"].append(None)
+                    rows["transcode_ok"].append(type(e).__name__)
+            out = pdf[keep].copy()
+            for k, v in rows.items():
+                out[k] = pd.Series(v, dtype=object) if k == "transcoded" else v
             yield out
 
     return df.mapInPandas(run, out_schema)

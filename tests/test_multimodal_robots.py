@@ -81,6 +81,59 @@ def test_image_stats_analytic_values(spark):
     assert out["bad"].stats_ok != "ok" and out["bad"].brightness is None
 
 
+def test_transcode_images_semantics(spark):
+    """Storage transcode: ok rows carry decodable smaller-or-equal JPEG
+    with recorded PSNR, incompressible rows are kept verbatim, poisoned
+    blobs are recorded per row — and a smooth image genuinely shrinks."""
+    import pandas as pd
+
+    from edgar_crawler_spark.functions.imaging import (
+        decode_image,
+        encode_png,
+        psnr,
+        sniff_format,
+    )
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import transcode_images
+
+    yy, xx = np.mgrid[0:48, 0:56]
+    smooth = (
+        np.stack([127 + 100 * np.sin(xx / 9.0), 127 + 100 * np.cos(yy / 7.0), xx % 256], axis=2)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["smooth", "poisoned"],
+                "bytes": [encode_png(smooth), b"\x00garbage blob"],
+            }
+        )
+    )
+    base = payload_df(spark, 40).select("image_id", "bytes")
+    out = transcode_images(base.unionByName(extra), quality=95).toPandas()
+    assert len(out) == 42 and set(out.image_id) >= {"smooth", "poisoned"}
+
+    bad = out.set_index("image_id").loc["poisoned"]
+    assert bad.transcode_ok == "ValueError" and bad.transcoded is None
+
+    ok = out[out.transcode_ok == "ok"]
+    kept = out[out.transcode_ok == "kept"]
+    assert len(ok) > 0 and len(kept) > 0  # noise PNGs don't shrink as JPEG
+    for _, r in ok.iterrows():
+        blob = bytes(r.transcoded)
+        assert sniff_format(blob) == "jpeg"
+        assert r.out_bytes == len(blob) <= r.in_bytes
+        assert r.psnr_db > 30.0
+    for _, r in kept.iterrows():
+        assert r.out_bytes == r.in_bytes == len(bytes(r.transcoded))
+
+    sm = out.set_index("image_id").loc["smooth"]
+    assert sm.transcode_ok == "ok" and sm.out_bytes < sm.in_bytes
+    got = decode_image(bytes(sm.transcoded))
+    assert psnr(smooth, got) >= 40.0
+
+
 def test_video_frame_sample_real_kernel(spark):
     """Uncompressed-AVI frame sampling: every-Nth indices, lossless
     pixel parity vs the fixture's reference frames, recorded (not
