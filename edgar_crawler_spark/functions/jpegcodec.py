@@ -333,7 +333,8 @@ def encode_jpeg(
     """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JFIF bytes.
 
     ``subsampling``: "4:4:4" (default — holds PSNR>=40dB even on noise
-    fixtures) or "4:2:0" (2x2 box-filtered chroma, natural images).
+    fixtures), "4:2:2" (2x1 horizontally box-filtered chroma) or
+    "4:2:0" (2x2 box-filtered chroma, natural images).
     ``restart_interval``: MCUs per restart segment (0 = no RSTn).
     """
     if px.dtype != np.uint8:
@@ -341,7 +342,7 @@ def encode_jpeg(
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError(f"expected (h,w,3) or (h,w), got {px.shape}")
-    if subsampling not in ("4:4:4", "4:2:0"):
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     h, w = px.shape[:2]
     if h == 0 or w == 0:
@@ -349,23 +350,22 @@ def encode_jpeg(
 
     qlum = _quality_scale(_QT_LUM, quality)
     qchrom = _quality_scale(_QT_CHROM, quality)
-    sub = subsampling == "4:2:0" and not gray
-
     if gray:
         planes = [px.astype(np.float64)]
         samp = [(1, 1)]
     else:
         y, cb, cr = _rgb_to_ycbcr(px)
-        if sub:
-            # pad to even dims then 2x2 box-filter the chroma
-            ph, pw = (h + 1) & ~1, (w + 1) & ~1
+        sx = 2 if subsampling in ("4:2:2", "4:2:0") else 1
+        sy = 2 if subsampling == "4:2:0" else 1
+        if sx > 1 or sy > 1:
+            # pad to the subsample grid, then box-filter the chroma
+            ph = -(-h // sy) * sy
+            pw = -(-w // sx) * sx
             cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
             cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
-            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
+            cb = cb.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
+            cr = cr.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
+        samp = [(sx, sy), (1, 1), (1, 1)]
         planes = [y, cb, cr]
 
     hmax = max(s[0] for s in samp)

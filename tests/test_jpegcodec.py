@@ -74,6 +74,52 @@ def test_420_subsampling_smaller_and_reasonable():
     assert psnr(gray.clip(0, 255).astype(np.uint8), gdec.clip(0, 255).astype(np.uint8)) >= 40.0
 
 
+def test_422_subsampling_between_444_and_420():
+    px = _smooth(64, 64)
+    b444 = encode_jpeg(px, quality=90)
+    b422 = encode_jpeg(px, quality=90, subsampling="4:2:2")
+    b420 = encode_jpeg(px, quality=90, subsampling="4:2:0")
+    assert len(b420) < len(b422) < len(b444)
+    d = decode_jpeg(b422)
+    assert d.shape == px.shape
+    assert psnr(px, decode_jpeg(b420)) <= psnr(px, d) <= psnr(px, b444 and decode_jpeg(b444))
+    # odd dims through the 2x1 grid
+    o = _smooth(9, 15)
+    assert decode_jpeg(encode_jpeg(o, quality=95, subsampling="4:2:2")).shape == o.shape
+
+
+def test_sof1_extended_sequential_decodes():
+    """SOF1 streams are baseline-compatible at 8-bit precision; foreign
+    writers emit them."""
+    px = _smooth(16, 16)
+    blob = bytearray(encode_jpeg(px, quality=90))
+    i = bytes(blob).find(b"\xff\xc0")
+    blob[i + 1] = 0xC1
+    assert np.array_equal(decode_jpeg(bytes(blob)), decode_jpeg(encode_jpeg(px, quality=90)))
+
+
+def test_16bit_dqt_decodes():
+    """Foreign writers may emit pq=1 (16-bit) quantization tables."""
+    px = _smooth(16, 16)
+    blob = encode_jpeg(px, quality=90)
+    out = bytearray()
+    pos = 0
+    while pos < len(blob):
+        if blob[pos] == 0xFF and pos + 1 < len(blob) and blob[pos + 1] == 0xDB:
+            seg_len = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+            body = blob[pos + 4 : pos + 2 + seg_len]
+            tq = body[0] & 0x0F
+            vals = body[1:65]
+            wide = b"".join(v.to_bytes(2, "big") for v in vals)
+            payload = bytes([(1 << 4) | tq]) + wide
+            out += b"\xff\xdb" + (2 + len(payload)).to_bytes(2, "big") + payload
+            pos += 2 + seg_len
+            continue
+        out.append(blob[pos])
+        pos += 1
+    assert np.array_equal(decode_jpeg(bytes(out)), decode_jpeg(blob))
+
+
 def test_420_odd_dimensions():
     px = _smooth(19, 23)
     dec = decode_jpeg(encode_jpeg(px, quality=95, subsampling="4:2:0"))
@@ -146,7 +192,7 @@ def test_encoder_input_validation():
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((4, 4, 4), np.uint8))
     with pytest.raises(ValueError):
-        encode_jpeg(np.zeros((4, 4, 3), np.uint8), subsampling="4:2:2")
+        encode_jpeg(np.zeros((4, 4, 3), np.uint8), subsampling="4:1:1")
 
 
 def test_mjpeg_avi_roundtrip():

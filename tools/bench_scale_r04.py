@@ -223,19 +223,20 @@ def kmeans(cpus: int) -> dict:
     }
 
 
-def kmeans_mb(cpus: int) -> dict:
-    """Mini-batch trainer at 1M rows / 1024 cells: 5 hash-sampled
-    rounds (fraction 0.05) + ONE full assignment — the 10^9-row
+def kmeans_mb(cpus: int, copies: int = 512) -> dict:
+    """Mini-batch trainer at copies×~2k rows / 1024 cells: 5 hash-
+    sampled rounds (fraction 0.05) + ONE full assignment — the 10^9-row
     training shape (vs 'kmeans' mode's full Lloyd passes).  rows/s
     counts rows actually scanned by Python kernels:
-    n × (iterations × fraction + 1)."""
+    n × (iterations × fraction + 1).  copies=512 ≈ 1M rows (the r04s3
+    barrier-bound regime); copies=5120 ≈ 10M shows the scan-bound
+    regime where per-round barrier cost amortizes."""
     from edgar_crawler_spark.operators.similarity import kmeans_refine_minibatch
 
     spark = get_spark(
         app_name=f"kmeansmb-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
     )
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    copies = 512
     big = (
         e.select(
             "vec_id",
@@ -334,7 +335,8 @@ def main():
     elif mode == "kmeans":
         print(json.dumps(kmeans(int(sys.argv[2]))))
     elif mode == "kmeans-mb":
-        print(json.dumps(kmeans_mb(int(sys.argv[2]))))
+        copies = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+        print(json.dumps(kmeans_mb(int(sys.argv[2]), copies)))
     elif mode == "assign":
         print(json.dumps(assign(int(sys.argv[2]))))
     elif mode == "ivf-index":
