@@ -53,16 +53,24 @@ def make_payload_row(i: int, seed: int = DEFAULT_SEED) -> dict:
     w = 16 + int(i % 3) * 8  # 16/24/32 px
     h = 16 + int(i % 5) * 4
     pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    # lossy rows are 1 in 3; of those, every 7th is REAL baseline JPEG
-    # (functions/jpegcodec.py) and the rest the cheap QNT stand-in — the
-    # frontier fetch benchmark pays this codec per URL, so the bulk stays
-    # on the ~50x-cheaper path while the real decoder runs end-to-end.
+    # lossy rows are 1 in 3; of those, every 7th is REAL JPEG — half
+    # baseline (functions/jpegcodec.py), half progressive/SOF2
+    # (functions/jpegprog.py; same quantized coefficients, so the same
+    # PSNR contract) — and the rest the cheap QNT stand-in: the frontier
+    # fetch benchmark pays this codec per URL, so the bulk stays on the
+    # ~50x-cheaper path while both real decoders run end-to-end.
     fmt = "png" if i % 3 else ("jpeg" if i % 21 == 0 else "qnt")
+    if fmt == "jpeg" and i % 42 == 0:
+        from edgar_crawler_spark.functions.jpegprog import encode_jpeg_progressive
+
+        data = encode_jpeg_progressive(pixels)
+    else:
+        data = encode_image(pixels, fmt)
     cik = 100000 + i % 997
     image_id = f"{cik:0>10}-22-{i:06d}"  # = accession in seed_index
     return {
         "image_id": image_id,
-        "bytes": encode_image(pixels, fmt),
+        "bytes": data,
         "w": w,
         "h": h,
         "fmt": fmt,

@@ -12,9 +12,11 @@ sequential DCT codec:
   ANY writer — arbitrary DQT/DHT tables, 1- or 3-component scans, any
   sampling factors up to 2x2, restart markers, missing-DHT streams
   (MJPEG convention: fall back to the K.3 tables).  Progressive (SOF2)
-  and the other non-baseline SOFn raise ``NotImplementedError`` naming
-  the frame type — per-row error recording upstream keeps poisoned
-  blobs from killing a job (operators/multimodal.py contract).
+  streams dispatch to the Annex-G decoder in functions/jpegprog.py;
+  the remaining non-baseline SOFn (lossless, arithmetic, differential)
+  raise ``NotImplementedError`` naming the frame type — per-row error
+  recording upstream keeps poisoned blobs from killing a job
+  (operators/multimodal.py contract).
 
 Hot-path design (the frontier fetch UDF decodes every payload): the DCT
 is one einsum over all blocks, Huffman decode is table-driven — a
@@ -445,7 +447,6 @@ def encode_jpeg(
 # --------------------------------------------------------------------------
 
 _NON_BASELINE_SOF = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -589,6 +590,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker == 0xC2:  # progressive: delegate to the Annex-G decoder
+            from edgar_crawler_spark.functions.jpegprog import decode_progressive
+
+            return decode_progressive(data)
         elif marker in _NON_BASELINE_SOF:
             raise NotImplementedError(
                 f"{_NON_BASELINE_SOF[marker]} JPEG unsupported (baseline only)"

@@ -1,18 +1,19 @@
 """Multimodal column operators: opaque ``binary`` payloads + typed
 metadata, processed through Arrow-batched ``mapInPandas`` only.
 
-Real here (no image libs needed): PNG + baseline JPEG codecs
-(functions/imaging.py, functions/jpegcodec.py), validation (decode →
-dims/format/aHash), nearest-neighbour resize (pure numpy indexing),
-storage transcode (any container → JPEG with recorded PSNR).
+Real here (no image libs needed): PNG + baseline AND progressive JPEG
+codecs (functions/imaging.py, functions/jpegcodec.py,
+functions/jpegprog.py), validation (decode → dims/format/aHash),
+nearest-neighbour resize (pure numpy indexing), storage transcode
+(any container → JPEG with recorded PSNR).
 
 Also real: WAV/RIFF audio feature extraction (stdlib ``wave`` +
 numpy) and AVI video frame sampling — uncompressed BI_RGB DIB *and*
 MJPEG streams (per-frame baseline JPEG) — no codec library needed.
 
 STUBBED (container lacks codec libs — plumbing is real, the error is
-recorded per row): progressive JPEG and non-MJPEG compressed video
-(H.264-class fourccs) — swap the kernel on a cluster with PIL/ffmpeg.
+recorded per row): non-MJPEG compressed video (H.264-class fourccs)
+— swap the kernel on a cluster with ffmpeg.
 """
 
 from __future__ import annotations

@@ -164,13 +164,24 @@ def test_missing_dht_falls_back_to_annex_k():
     assert np.array_equal(decode_jpeg(blob), decode_jpeg(stripped))
 
 
-def test_progressive_raises_not_implemented():
+def test_lossless_sof_raises_not_implemented():
     px = _smooth(16, 16)
     blob = bytearray(encode_jpeg(px, quality=90))
     i = bytes(blob).find(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    blob[i + 1] = 0xC3  # SOF0 -> SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="lossless"):
         decode_jpeg(bytes(blob))
+
+
+def test_progressive_dispatches_to_jpegprog():
+    from edgar_crawler_spark.functions.jpegprog import encode_jpeg_progressive
+
+    px = _smooth(24, 17)
+    blob = encode_jpeg_progressive(px, quality=90)
+    assert b"\xff\xc2" in blob
+    # decode_jpeg transparently handles SOF2 and matches the baseline
+    # decode of the same quantized coefficients
+    assert np.array_equal(decode_jpeg(blob), decode_jpeg(encode_jpeg(px, quality=90)))
 
 
 def test_corrupt_streams_raise_value_error():
