@@ -134,6 +134,34 @@ def test_transcode_images_semantics(spark):
     assert psnr(smooth, got) >= 40.0
 
 
+def test_transcode_images_progressive(spark):
+    """progressive=True emits decodable SOF2 streams with IDENTICAL
+    pixels to the baseline transcode (same quantized coefficients) and
+    strictly smaller blobs (per-scan optimal Huffman tables)."""
+    import pandas as pd
+
+    from edgar_crawler_spark.functions.imaging import decode_image, encode_png
+    from edgar_crawler_spark.operators.multimodal import transcode_images
+
+    yy, xx = np.mgrid[0:48, 0:56]
+    smooth = (
+        np.stack([127 + 100 * np.sin(xx / 9.0), 127 + 100 * np.cos(yy / 7.0), xx % 256], axis=2)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["smooth"], "bytes": [encode_png(smooth)]})
+    )
+    base = transcode_images(df, quality=95).collect()[0]
+    prog = transcode_images(df, quality=95, progressive=True).collect()[0]
+    assert base.transcode_ok == prog.transcode_ok == "ok"
+    pblob = bytes(prog.transcoded)
+    assert b"\xff\xc2" in pblob and b"\xff\xc0" not in pblob
+    assert prog.out_bytes < base.out_bytes
+    assert np.array_equal(decode_image(pblob), decode_image(bytes(base.transcoded)))
+    assert prog.psnr_db == base.psnr_db
+
+
 def test_video_frame_sample_real_kernel(spark):
     """Uncompressed-AVI frame sampling: every-Nth indices, lossless
     pixel parity vs the fixture's reference frames, recorded (not
