@@ -52,14 +52,27 @@ def make_payload_row(i: int, seed: int = DEFAULT_SEED) -> dict:
     rng = np.random.default_rng(seed + i)
     w = 16 + int(i % 3) * 8  # 16/24/32 px
     h = 16 + int(i % 5) * 4
-    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     # lossy rows are 1 in 3; of those, every 7th is REAL JPEG — half
     # baseline (functions/jpegcodec.py), half progressive/SOF2
     # (functions/jpegprog.py; same quantized coefficients, so the same
     # PSNR contract) — and the rest the cheap QNT stand-in: the frontier
     # fetch benchmark pays this codec per URL, so the bulk stays on the
-    # ~50x-cheaper path while both real decoders run end-to-end.
-    fmt = "png" if i % 3 else ("jpeg" if i % 21 == 0 else "qnt")
+    # ~50x-cheaper path while both real decoders run end-to-end.  Of the
+    # lossless majority, sparse deterministic slices are BMP and GIF
+    # (functions/gifcodec.py; pixels posterized to <= 216 colors so the
+    # palette is exact and the round-trip lossless — matching how real
+    # GIFs are born palettized, and keeping the PSNR >= 40 dB contract).
+    if i % 3 == 0:
+        fmt = "jpeg" if i % 21 == 0 else "qnt"
+    elif i % 11 == 4:
+        fmt = "bmp"
+    elif i % 13 == 6:
+        fmt = "gif"
+    else:
+        fmt = "png"
+    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if fmt == "gif":
+        pixels = pixels - pixels % 51
     if fmt == "jpeg" and i % 42 == 0:
         from edgar_crawler_spark.functions.jpegprog import encode_jpeg_progressive
 
@@ -89,11 +102,17 @@ def payload_df(spark: SparkSession, n: int = 1000, seed: int = DEFAULT_SEED) -> 
 
 
 def reference_pixels(i: int, seed: int = DEFAULT_SEED) -> np.ndarray:
-    """The oracle's source pixels for row i (pre-encode)."""
+    """The oracle's source pixels for row i (pre-encode). Mirrors
+    :func:`make_payload_row` exactly — including the GIF rows'
+    posterization, which happens BEFORE encode and so is part of the
+    reference, not codec loss."""
     rng = np.random.default_rng(seed + i)
     w = 16 + int(i % 3) * 8
     h = 16 + int(i % 5) * 4
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if i % 3 != 0 and i % 11 != 4 and i % 13 == 6:
+        pixels = pixels - pixels % 51
+    return pixels
 
 
 def audio_df(spark: SparkSession, n: int = 64) -> DataFrame:
@@ -180,15 +199,19 @@ def make_video_frames(i: int) -> "np.ndarray":
 
 
 def video_df(spark: SparkSession, n: int = 48) -> DataFrame:
-    """Deterministic synthetic video corpus: AVI clips whose frames are
-    a pure function of the row id — most uncompressed RGB24, every 7th
-    REAL MJPEG (per-frame baseline JPEG at quality 98, the lossy decode
-    path through functions/jpegcodec.py). Every 13th blob is poisoned
-    (truncated RIFF) and every 11th is patched to an UNSUPPORTED
-    compressed fourcc (H264) — exercising both recorded-error paths of
+    """Deterministic synthetic video corpus: clips whose frames are
+    a pure function of the row id — most uncompressed-RGB24 AVI, every
+    7th REAL MJPEG (per-frame baseline JPEG at quality 98, the lossy
+    decode path through functions/jpegcodec.py), every 9th an ANIMATED
+    GIF (functions/gifcodec.py; the sinusoid frames have <= h*w <= 256
+    distinct colors, so the palette is exact and decode lossless).
+    Every 13th blob is poisoned (truncated RIFF) and every 11th is
+    patched to an UNSUPPORTED compressed fourcc (H264) — exercising
+    both recorded-error paths of
     :func:`~edgar_crawler_spark.operators.multimodal.sample_video_frames`."""
 
     def gen(batches):
+        from edgar_crawler_spark.functions.gifcodec import encode_gif_frames
         from edgar_crawler_spark.functions.imaging import encode_avi_mjpg, encode_avi_rgb
 
         for pdf in batches:
@@ -202,6 +225,12 @@ def video_df(spark: SparkSession, n: int = 48) -> DataFrame:
                 if i % 11 != 3 and i % 7 == 1:
                     rows["bytes"].append(
                         encode_avi_mjpg(make_video_frames(i), fps=24, quality=98)
+                    )
+                    continue
+                if i % 11 != 3 and i % 9 == 2:
+                    # delay 4 cs ≈ 25 fps — the GIF time base can't hit 24
+                    rows["bytes"].append(
+                        encode_gif_frames(make_video_frames(i), delay_cs=4)
                     )
                     continue
                 data = encode_avi_rgb(make_video_frames(i), fps=24)

@@ -124,6 +124,56 @@ def _decode_qnt(data: bytes) -> np.ndarray:
     return np.clip(q * step, 0, 255).astype(np.uint8).reshape(h, w, 3)
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → 24-bit BI_RGB Windows BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, scanlines padded to 4-byte stride —
+    the same DIB layout the AVI writer uses). Lossless."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    raw = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raw), 0, 0, 14 + 40)
+    return header + info + raw
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP → (h, w, 3) uint8 RGB. Handles the common uncompressed
+    (BI_RGB) variants a web crawl sees: 24-bit, 32-bit (alpha dropped),
+    and 8-bit palettized; both bottom-up and top-down (negative height)
+    row orders. Compressed variants (RLE, BI_BITFIELDS) raise."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", data[10:14])
+    header_size, w, bh, _planes, bitcount, compression = struct.unpack(
+        "<IiiHHI", data[14:34]
+    )
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} unsupported")
+    h = abs(bh)
+    top_down = bh < 0
+    if bitcount == 8:
+        (used,) = struct.unpack("<I", data[46:50])
+        n = used or 256
+        pal_at = 14 + header_size
+        pal = np.frombuffer(data[pal_at : pal_at + 4 * n], np.uint8).reshape(n, 4)
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(data[offset : offset + stride * h], np.uint8)
+        idx = rows.reshape(h, stride)[:, :w]
+        out = pal[idx][:, :, 2::-1]  # BGRX palette entries → RGB
+    elif bitcount in (24, 32):
+        bpp = bitcount // 8
+        stride = (w * bpp + 3) & ~3
+        rows = np.frombuffer(data[offset : offset + stride * h], np.uint8)
+        px = rows.reshape(h, stride)[:, : w * bpp].reshape(h, w, bpp)
+        out = px[:, :, 2::-1]  # BGR(A) → RGB, alpha dropped
+    else:
+        raise NotImplementedError(f"BMP bit depth {bitcount} unsupported")
+    return np.ascontiguousarray(out if top_down else out[::-1])
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
@@ -131,6 +181,12 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from edgar_crawler_spark.functions.jpegcodec import encode_jpeg
 
         return encode_jpeg(pixels)
+    if fmt == "gif":
+        from edgar_crawler_spark.functions.gifcodec import encode_gif
+
+        return encode_gif(pixels)
+    if fmt == "bmp":
+        return encode_bmp(pixels)
     if fmt == "qnt":  # cheap stand-in lossy codec, see module docstring
         return _encode_qnt(pixels)
     raise ValueError(f"unsupported fmt: {fmt}")
@@ -146,6 +202,12 @@ def decode_image(data: bytes) -> np.ndarray:
         from edgar_crawler_spark.functions.jpegcodec import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from edgar_crawler_spark.functions.gifcodec import decode_gif
+
+        return decode_gif(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
     raise ValueError("unknown image container")
 
 
@@ -157,6 +219,10 @@ def sniff_format(data: bytes) -> str | None:
         return "qnt"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:2] == b"BM":
+        return "bmp"
     return None
 
 
@@ -332,6 +398,17 @@ def decode_avi_rgb(data: bytes) -> tuple[float, np.ndarray]:
         rows = np.frombuffer(chunk[: stride * h], np.uint8).reshape(h, stride)
         frames[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # top-down, RGB
     return fps_out, frames
+
+
+def decode_video(data: bytes) -> tuple[float, np.ndarray]:
+    """Multi-frame container dispatch on magic bytes: AVI (RIFF) or
+    animated GIF → ``(fps, (n, h, w, 3) uint8 frames)``. Both decoders
+    share this contract so the frame sampler is container-agnostic."""
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from edgar_crawler_spark.functions.gifcodec import decode_gif_frames
+
+        return decode_gif_frames(data)
+    return decode_avi_rgb(data)
 
 
 def average_hash(pixels: np.ndarray) -> int:

@@ -241,10 +241,12 @@ def sample_video_frames(
     phash near-dup passes.
 
     REAL kernel for uncompressed AVI (RIFF + BI_RGB DIB frames — the
-    codec-free video container, same trick as the WAV audio kernel):
-    functions/imaging.py parses the RIFF tree with struct + numpy and
-    this stage explodes frames through ``mapInPandas``.  Streams that
-    genuinely need a codec (MJPEG/H.264/... fourccs) record
+    codec-free video container, same trick as the WAV audio kernel),
+    MJPEG AVI (per-frame baseline JPEG via functions/jpegcodec.py), and
+    ANIMATED GIF (functions/gifcodec.py — the web's most common
+    short-video container): functions/imaging.py dispatches on magic
+    bytes and this stage explodes frames through ``mapInPandas``.
+    Streams that genuinely need a codec (H.264/... fourccs) record
     ``NotImplementedError`` per row — swap the decode call for
     ffmpeg/pyav on a cluster that has them.  Corrupt blobs record their
     error class and never throw (a poisoned blob must not kill a
@@ -264,7 +266,7 @@ def sample_video_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from edgar_crawler_spark.functions.imaging import (
             average_hash,
-            decode_avi_rgb,
+            decode_video,
             encode_png,
         )
 
@@ -273,7 +275,7 @@ def sample_video_frames(
             out = {c: [] for c in cols}
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
                 try:
-                    fps, frames = decode_avi_rgb(bytes(data))
+                    fps, frames = decode_video(bytes(data))
                     for idx in range(0, len(frames), every_n):
                         out["media_id"].append(mid)
                         out["frame_idx"].append(idx)
