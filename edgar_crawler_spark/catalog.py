@@ -1831,6 +1831,164 @@ def q_image_transcode(spark, sf):
     )
 
 
+def q_image_scrub_metadata(spark, sf):
+    """Privacy scrub for the image axis (operators/multimodal.py:
+    scrub_image_metadata): drop EXIF/comment/text segments by pure
+    segment surgery — no re-encode, pixels byte-identical. The query
+    first TAGS the synthetic corpus with realistic metadata (EXIF APP1
+    on JPEG rows, tEXt on PNG, comment extensions on GIF) so the scrub
+    has real work to do, then reports what was removed. Rows-only (no
+    SQL engine walks JPEG segments); byte-level semantics are pinned in
+    tests/test_metadata_scrub.py."""
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import scrub_image_metadata
+
+    src = payload_df(spark, 128)
+
+    def tag(batches):
+        from edgar_crawler_spark.functions.metadata import (
+            add_gif_comment,
+            add_jpeg_app1_exif,
+            add_png_text,
+        )
+
+        for pdf in batches:
+            out = pdf.copy()
+            tagged = []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                data = bytes(data)
+                if fmt == "jpeg":
+                    data = add_jpeg_app1_exif(data, b"\x01" * 32)
+                elif fmt == "png":
+                    data = add_png_text(data, "GPS", "1.23,4.56")
+                elif fmt == "gif":
+                    data = add_gif_comment(data, "camera xyz")
+                tagged.append(data)
+            out["bytes"] = tagged
+            yield out
+
+    return scrub_image_metadata(src.mapInPandas(tag, src.schema)).select(
+        "image_id",
+        "fmt",
+        F.array_size("removed_segments").alias("n_removed"),
+        "saved_bytes",
+        "scrub_ok",
+    )
+
+
+# DuckDB regeneration of the payload fixture's metadata columns — a
+# pure function of the row index (fixtures/payload.py:make_payload_row),
+# so image-metadata operators get FULL value-level oracles without the
+# oracle ever decoding a blob.
+_SQL_PAYLOAD_META = """
+  SELECT i,
+         CAST(16 + (i % 3) * 8 AS INT) AS w,
+         CAST(16 + (i % 5) * 4 AS INT) AS h,
+         CASE WHEN i % 3 = 0 THEN (CASE WHEN i % 21 = 0 THEN 'jpeg' ELSE 'qnt' END)
+              WHEN i % 11 = 4 THEN 'bmp'
+              WHEN i % 13 = 6 THEN 'gif'
+              ELSE 'png' END AS fmt,
+         printf('%010d-22-%06d', 100000 + i % 997, i) AS image_id
+  FROM range(0, 1000) t(i)
+"""
+
+SQL_IMAGE_GATES = f"""
+WITH gen AS ({_SQL_PAYLOAD_META}), cap AS (
+  SELECT *,
+         'image ' || image_id || ' ' || w || 'x' || h || ' ' || fmt AS caption
+  FROM gen
+), gated AS (
+  SELECT image_id, w, h, fmt,
+    CASE WHEN LEAST(w, h) >= 20 THEN 1 ELSE 0 END AS size_ok,
+    CASE WHEN CAST(GREATEST(w, h) AS DOUBLE) / LEAST(w, h) <= 1.5
+         THEN 1 ELSE 0 END AS aspect_ok,
+    CASE WHEN len(string_split_regex(trim(caption), '\\s+')) >= 4
+              AND length(caption) <= 80
+         THEN 1 ELSE 0 END AS caption_ok,
+    CASE WHEN fmt <> 'qnt' THEN 1 ELSE 0 END AS fmt_ok
+  FROM cap
+)
+SELECT image_id, w, h, fmt, size_ok, aspect_ok, caption_ok, fmt_ok,
+       size_ok * aspect_ok * caption_ok * fmt_ok AS passes
+FROM gated
+ORDER BY image_id
+"""
+
+
+SQL_IMAGE_PACK = f"""
+WITH gen AS ({_SQL_PAYLOAD_META}),
+buckets AS (
+  SELECT * FROM (VALUES (0, 32, 32), (1, 32, 16), (2, 16, 32)) b(idx, bw, bh)
+),
+assigned AS (
+  SELECT g.image_id, g.w, g.h, b.idx AS bucket_idx, b.bw AS target_w,
+         b.bh AS target_h,
+         CAST({h48_sql('g.image_id')} AS BIGINT) AS hh
+  FROM gen g CROSS JOIN buckets b
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY g.image_id
+    ORDER BY CAST(ABS(g.w * b.bh - g.h * b.bw) AS DOUBLE) / (g.h * b.bh), b.idx
+  ) = 1
+),
+sharded AS (
+  SELECT image_id, bucket_idx, target_w, target_h,
+         CAST(hh % 8 AS INT) AS shard, hh,
+         GREATEST(1, CAST(FLOOR(8192.0 / (target_w * target_h)) AS BIGINT)) AS cap
+  FROM assigned
+)
+SELECT image_id, bucket_idx, target_w, target_h, shard,
+       CAST(FLOOR((ROW_NUMBER() OVER (
+           PARTITION BY bucket_idx, shard ORDER BY hh, image_id) - 1) / cap)
+         AS INT) AS batch_idx
+FROM sharded
+ORDER BY image_id
+"""
+
+
+def q_image_pack_batches(spark, sf):
+    """Aspect-ratio bucketing + fixed-pixel-budget batch packing
+    (operators/multimodal.py:pack_image_batches) — the image analog of
+    pack_sequences: every image is assigned the closest-aspect target
+    shape (rational-arithmetic distance, bit-portable across engines)
+    and packed into floor(budget / target_px)-image batches in
+    deterministic (H48, id) order within hash shards. ORACLE-CHECKED
+    end-to-end against the regenerated fixture metadata."""
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import pack_image_batches
+
+    return pack_image_batches(
+        payload_df(spark, 1000),
+        buckets=[(32, 32), (32, 16), (16, 32)],
+        batch_px_budget=8192,
+        n_shards=8,
+    )
+
+
+def q_image_caption_gates(spark, sf):
+    """LAION-style metadata pre-filters for image+caption pairs
+    (operators/multimodal.py:image_caption_gates): min-side, aspect
+    ratio, caption token/char bounds, container allow-list — pure JVM
+    column predicates, no decode, whole-stage codegen. ORACLE-CHECKED:
+    the payload fixture's metadata (w/h/fmt/caption) is a pure function
+    of the row index, so the DuckDB twin regenerates the identical
+    metadata table from range() and applies the same gates — a full
+    value-level cross-engine check of the gate logic itself."""
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import image_caption_gates
+
+    return image_caption_gates(payload_df(spark, 1000)).select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        "size_ok",
+        "aspect_ok",
+        "caption_ok",
+        "fmt_ok",
+        "passes",
+    )
+
+
 def q_text_line_dedup(spark, sf):
     """C4-style boilerplate-line removal (operators/text.py:line_dedup)
     over a derived multi-line corpus: the synthetic documents are
@@ -2383,6 +2541,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "video_frame_near_dup": (q_video_frame_near_dup, None),
     "image_stats": (q_image_stats, None),
     "image_transcode": (q_image_transcode, None),
+    "image_scrub_metadata": (q_image_scrub_metadata, None),
+    "image_caption_gates": (q_image_caption_gates, SQL_IMAGE_GATES),
+    "image_pack_batches": (q_image_pack_batches, SQL_IMAGE_PACK),
     "text_line_dedup": (q_text_line_dedup, SQL_TEXT_LINE_DEDUP),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "text_scrub_pii": (q_text_scrub_pii, SQL_TEXT_SCRUB_PII),

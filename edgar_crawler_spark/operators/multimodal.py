@@ -22,8 +22,10 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -214,6 +216,182 @@ def transcode_images(
             yield out
 
     return df.mapInPandas(run, out_schema)
+
+
+SCRUB_SCHEMA_FIELDS = [
+    StructField("scrubbed", BinaryType()),
+    StructField("removed_segments", ArrayType(StringType())),
+    StructField("saved_bytes", IntegerType()),
+    StructField("scrub_ok", StringType()),  # ok | <error class>
+]
+
+
+def scrub_image_metadata(
+    df: DataFrame, bytes_col: str = "bytes", num_partitions: int | None = None
+) -> DataFrame:
+    """Strip privacy-sensitive metadata (EXIF APP1, JPEG/GIF comments,
+    PNG text/time chunks) WITHOUT re-encoding — pure segment surgery
+    via functions/metadata.py, so the entropy-coded pixel data is
+    byte-identical and the pass costs header-walk time, not a decode.
+    The PII-scrub leg for the image axis, companion to the text-side
+    ``scrub_pii`` operator.
+
+    Per row: ``scrubbed`` bytes, ``removed_segments`` labels (APP1,
+    COM, tEXt, comment, ...), ``saved_bytes``, ``scrub_ok``. Unknown
+    containers and malformed streams pass the ORIGINAL bytes through
+    with the error class recorded — a scrub pass must drop metadata
+    where it can, never rows. Same compute-then-append batch shape and
+    explicit repartition as the other image kernels."""
+    passthrough = [
+        f for f in df.schema.fields if f.name not in {x.name for x in SCRUB_SCHEMA_FIELDS}
+    ]
+    out_schema = StructType(passthrough + SCRUB_SCHEMA_FIELDS)
+    keep = [f.name for f in passthrough]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(num_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from edgar_crawler_spark.functions.metadata import strip_image_metadata
+
+        for pdf in batches:
+            rows = {f.name: [] for f in SCRUB_SCHEMA_FIELDS}
+            for data in pdf[bytes_col]:
+                data = bytes(data)
+                try:
+                    clean, removed = strip_image_metadata(data)
+                    rows["scrubbed"].append(clean)
+                    rows["removed_segments"].append(removed)
+                    rows["saved_bytes"].append(len(data) - len(clean))
+                    rows["scrub_ok"].append("ok")
+                except Exception as e:
+                    rows["scrubbed"].append(data)
+                    rows["removed_segments"].append([])
+                    rows["saved_bytes"].append(0)
+                    rows["scrub_ok"].append(type(e).__name__)
+            out = pdf[keep].copy()
+            for k, v in rows.items():
+                out[k] = pd.Series(v, dtype=object)
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def image_caption_gates(
+    df: DataFrame,
+    min_side: int = 20,
+    max_aspect: float = 1.5,
+    min_caption_tokens: int = 4,
+    max_caption_chars: int = 80,
+    drop_fmts: tuple = ("qnt",),
+) -> DataFrame:
+    """LAION-style metadata pre-filters for image+caption training
+    pairs — the gates that run BEFORE any decode or model scoring, so
+    they must be pure JVM built-ins (no Python, no bytes touched):
+
+    * ``size_ok``      — min(w, h) >= min_side (thumbnails out)
+    * ``aspect_ok``    — max(w, h) / min(w, h) <= max_aspect (banners out)
+    * ``caption_ok``   — whitespace-token count >= min AND char length
+                         <= max (empty/spam captions out)
+    * ``fmt_ok``       — container not in drop_fmts
+    * ``passes``       — conjunction of all four
+
+    At 100 TB these gates prune the corpus before the expensive decode/
+    embed stages; expressing them as column predicates keeps them
+    inside whole-stage codegen and lets Catalyst push them into scans
+    when ``df.filter(col('passes'))`` follows. Gate flags are INT (0/1)
+    so downstream aggregation and the cross-engine oracle hash
+    identically."""
+    side_lo = F.least("w", "h")
+    side_hi = F.greatest("w", "h")
+    toks = F.size(F.split(F.trim("caption"), r"\s+"))
+    gates = {
+        "size_ok": side_lo >= F.lit(min_side),
+        "aspect_ok": side_hi / side_lo <= F.lit(max_aspect),
+        "caption_ok": (toks >= F.lit(min_caption_tokens))
+        & (F.length("caption") <= F.lit(max_caption_chars)),
+        "fmt_ok": ~F.col("fmt").isin(*drop_fmts),
+    }
+    out = df
+    for name, cond in gates.items():
+        out = out.withColumn(name, cond.cast("int"))
+    passes = gates["size_ok"]
+    for name in ("aspect_ok", "caption_ok", "fmt_ok"):
+        passes = passes & (F.col(name) == 1)
+    return out.withColumn("passes", passes.cast("int"))
+
+
+def pack_image_batches(
+    df: DataFrame,
+    buckets: list,
+    batch_px_budget: int,
+    n_shards: int = 8,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Aspect-ratio bucketing + fixed-budget batch packing — the image
+    analog of ``pack_sequences`` (variable-resolution training wants
+    same-shape batches; mixed aspect ratios in one batch waste pixels
+    on padding). ``buckets`` is a list of (target_w, target_h) shapes.
+
+    Each image goes to the bucket minimizing |w/h − bw/bh|, computed as
+    the RATIONAL form ``abs(w*bh − h*bw) / (h*bh)`` — exact integer
+    arithmetic then one correctly-rounded division, so the argmin is
+    bit-identical across engines (a log-space metric would differ in
+    the last ulp between libm implementations and flip near-ties);
+    ties break to the lowest bucket index via struct ordering.  Within
+    a bucket every image resizes to the same target, so a batch holds
+    ``floor(batch_px_budget / (bw*bh))`` images; packing order is the
+    deterministic (H48, id) sort WITHIN hash shards — ``n_shards``
+    independent window partitions, the same explicit-parallelism knob
+    as pack_sequences (batches never cross shards, so no global sort
+    at 100 TB).  Returns (id, bucket_idx, target_w, target_h, shard,
+    batch_idx) — deterministic and rerun-stable."""
+    from pyspark.sql import Window
+
+    from edgar_crawler_spark.operators.hashing import h48_col
+
+    if not buckets or batch_px_budget < 1:
+        raise ValueError("need at least one bucket and a positive budget")
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    F.abs(F.col("w") * F.lit(bh) - F.col("h") * F.lit(bw)).cast(
+                        "double"
+                    )
+                    / (F.col("h") * F.lit(bh))
+                ).alias("dist"),
+                F.lit(i).alias("idx"),
+                F.lit(bw).alias("bw"),
+                F.lit(bh).alias("bh"),
+            )
+            for i, (bw, bh) in enumerate(buckets)
+        ]
+    )
+    best = F.array_min(cands)
+    h = h48_col(F.col(id_col).cast("string"))
+    cap = F.greatest(
+        F.lit(1), F.floor(F.lit(batch_px_budget) / (best["bw"] * best["bh"]))
+    )
+    w = Window.partitionBy("bucket_idx", "shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            id_col,
+            best["idx"].alias("bucket_idx"),
+            best["bw"].alias("target_w"),
+            best["bh"].alias("target_h"),
+            F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+            h.alias("__h"),
+            cap.alias("__cap"),
+        )
+        .withColumn(
+            "batch_idx",
+            F.floor((F.row_number().over(w) - F.lit(1)) / F.col("__cap")).cast("int"),
+        )
+        .drop("__h", "__cap")
+    )
 
 
 FRAME_SAMPLE_SCHEMA = StructType(
