@@ -68,6 +68,8 @@ def make_payload_row(i: int, seed: int = DEFAULT_SEED) -> dict:
         fmt = "bmp"
     elif i % 13 == 6:
         fmt = "gif"
+    elif i % 17 == 8:
+        fmt = "webp"  # lossless VP8L (functions/webpcodec.py)
     else:
         fmt = "png"
     pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)

@@ -187,6 +187,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_gif(pixels)
     if fmt == "bmp":
         return encode_bmp(pixels)
+    if fmt == "webp":
+        from edgar_crawler_spark.functions.webpcodec import encode_webp
+
+        return encode_webp(pixels)
     if fmt == "qnt":  # cheap stand-in lossy codec, see module docstring
         return _encode_qnt(pixels)
     raise ValueError(f"unsupported fmt: {fmt}")
@@ -208,6 +212,10 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_gif(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from edgar_crawler_spark.functions.webpcodec import decode_webp
+
+        return decode_webp(data)
     raise ValueError("unknown image container")
 
 
@@ -223,6 +231,8 @@ def sniff_format(data: bytes) -> str | None:
         return "gif"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return None
 
 

@@ -1,0 +1,1006 @@
+"""WebP lossless (VP8L) codec — numpy + stdlib only.
+
+Like the JPEG/GIF codecs in this package this is a REAL bitstream
+implementation of the published format (RFC 9649 / the WebP lossless
+bitstream specification), not a stand-in: the writer emits RIFF/WEBP
+containers any WebP reader opens, and the reader decodes the full VP8L
+feature set —
+
+* canonical prefix (Huffman) codes, both the "simple" and the
+  code-length-coded forms (incl. RLE codes 16/17/18 and the
+  max_symbol early-out),
+* LZ77 backward references with the prefix-coded length/distance
+  scheme, both linear distances and the 120-entry short-distance
+  neighbor map (table transcribed from the spec),
+* color cache (the 0x1e35a7bd multiplicative hash),
+* meta prefix codes (entropy image selecting per-block code groups),
+* all four transforms: PREDICTOR (14 modes), COLOR (signed 3.5
+  fixed-point cross-channel deltas), SUBTRACT_GREEN, and
+  COLOR_INDEXING incl. sub-byte pixel packing for palettes <= 16.
+
+The encoder emits a configurable feature subset (subtract-green,
+palette with packing, uniform or per-block predictors, color cache,
+distance-1 run LZ77 with linear or short-code distances, optional
+two-group meta prefix) so every decoder path is exercised end-to-end
+by round-trip tests; lossy VP8 and VP8X-extended files raise
+NotImplementedError naming the feature (those need libwebp).
+
+Pixels are (h, w, 3) uint8 RGB at the API boundary (alpha encoded as
+a constant 255 = a zero-bit prefix code); the internal plane is ARGB
+as the format defines.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# code-length-code transmission order (spec section on prefix codes)
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# short-distance neighbor map: the spec's 120 (dx, dy) pairs
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (2, 7), (-2, 7), (7, 2), (-7, 2), (4, 6), (-4, 6), (6, 4), (-6, 4),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (2, 8), (-2, 8), (7, 5), (-7, 5), (5, 7), (-5, 7), (8, 3),
+    (-8, 3), (3, 8), (-3, 8), (6, 7), (-6, 7), (7, 6), (-7, 6), (8, 4),
+]
+
+
+# --------------------------------------------------------------------------
+# Bit I/O (LSB-first per byte; prefix codes packed MSB-of-code first,
+# the DEFLATE convention VP8L follows)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        p = self.pos
+        if p >> 3 >= len(self.data):
+            raise ValueError("VP8L: bitstream truncated")
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (p & 7)) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= self.bit() << i
+        return v
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.n
+        self.n += n
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def code(self, c: int, n: int) -> None:
+        """Prefix-code bits go MSB-first."""
+        for i in range(n - 1, -1, -1):
+            self.bits((c >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytes(self.out) + (bytes([self.acc & 0xFF]) if self.n else b"")
+        return out
+
+
+# --------------------------------------------------------------------------
+# Canonical prefix codes
+
+
+def _canonical(lengths: list[int]) -> dict:
+    """lengths[sym] → {sym: (code, len)}, canonical DEFLATE assignment
+    (sorted by (length, symbol))."""
+    max_len = max(lengths) if lengths else 0
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    next_code = [0] * (max_len + 2)
+    code = 0
+    for b in range(1, max_len + 1):
+        code = (code + bl_count[b - 1]) << 1
+        next_code[b] = code
+    out = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+class _Decoder:
+    """Per-bit canonical-code walker. A single-symbol code reads zero
+    bits, as the spec requires."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        live = [s for s, ln in enumerate(lengths) if ln]
+        if not live:
+            raise ValueError("VP8L: empty prefix code")
+        self.single = live[0] if len(live) == 1 else None
+        self.map = {(ln, c): s for s, (c, ln) in _canonical(lengths).items()}
+        self.max_len = max(ln for ln in lengths)
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code, ln = 0, 0
+        while ln <= self.max_len:
+            code = (code << 1) | br.bit()
+            ln += 1
+            sym = self.map.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("VP8L: invalid prefix code in stream")
+
+
+def _limited_lengths(freq: dict[int, int], alphabet: int, cap: int = 15) -> list[int]:
+    """Optimal Huffman lengths from frequencies, length-limited to
+    ``cap`` by the standard overfull-redistribution pass."""
+    live = [(f, s) for s, f in freq.items() if f]
+    lengths = [0] * alphabet
+    if not live:
+        return lengths
+    if len(live) == 1:
+        lengths[live[0][1]] = 1
+        return lengths
+    import heapq
+
+    heap = [(f, [s]) for f, s in live]
+    heapq.heapify(heap)
+    depth = dict.fromkeys((s for _, s in live), 0)
+    while len(heap) > 1:
+        f1, s1 = heapq.heappop(heap)
+        f2, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, s1 + s2))
+    bl_count = [0] * (max(depth.values()) + 1)
+    for s, d in depth.items():
+        bl_count[d] += 1
+    # clamp to cap (DEFLATE-style: move pairs down, donors up)
+    for ln in range(len(bl_count) - 1, cap, -1):
+        while bl_count[ln] > 0:
+            j = ln - 2
+            while bl_count[j] == 0:
+                j -= 1
+            bl_count[ln] -= 2
+            bl_count[ln - 1] += 1
+            bl_count[j + 1] += 2
+            bl_count[j] -= 1
+    # canonical reassignment over symbols sorted by (orig depth, symbol)
+    order = sorted(depth, key=lambda s: (depth[s], s))
+    i = 0
+    for ln in range(1, cap + 1):
+        if ln < len(bl_count):
+            for _ in range(bl_count[ln]):
+                lengths[order[i]] = ln
+                i += 1
+    return lengths
+
+
+# --------------------------------------------------------------------------
+# Prefix-coded lengths / distances
+
+
+def _prefix_decode(sym: int, br: _BitReader) -> int:
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """value → (symbol, extra_bits_value, extra_bits_count)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    x = v - 1
+    hi = x.bit_length() - 1
+    extra = hi - 1
+    sym = 2 * hi + ((x >> extra) & 1)
+    return sym, x & ((1 << extra) - 1), extra
+
+
+_SHORT_CODE = {}
+for _i, (_dx, _dy) in enumerate(_DIST_MAP):
+    _SHORT_CODE.setdefault((_dx, _dy), _i + 1)
+
+
+def _dist_from_code(code: int, xsize: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _DIST_MAP[code - 1]
+    return max(1, dy * xsize + dx)
+
+
+# --------------------------------------------------------------------------
+# Prefix-code group reading/writing
+
+
+def _read_code_lengths(br: _BitReader, alphabet: int) -> list[int]:
+    if br.bit():  # simple code
+        num = br.bit() + 1
+        if br.bit():  # first symbol in 8 bits
+            s0 = br.bits(8)
+        else:
+            s0 = br.bits(1)
+        lengths = [0] * alphabet
+        if num == 1:
+            lengths[s0] = 1  # single symbol: zero-bit code in practice
+        else:
+            s1 = br.bits(8)
+            lengths[s0] = 1
+            lengths[s1] = 1
+        return lengths
+    n_codes = 4 + br.bits(4)
+    clc = [0] * 19
+    for i in range(n_codes):
+        clc[_CLC_ORDER[i]] = br.bits(3)
+    dec = _Decoder(clc)
+    if br.bit():  # limited symbol count
+        nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    sym = 0
+    while sym < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = dec.read(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            for _ in range(3 + br.bits(2)):
+                if sym < alphabet:
+                    lengths[sym] = prev
+                    sym += 1
+        elif cl == 17:
+            sym += 3 + br.bits(3)
+        else:
+            sym += 11 + br.bits(7)
+    return lengths
+
+
+def _write_code_lengths(bw: _BitWriter, lengths: list[int]) -> None:
+    live = [s for s, ln in enumerate(lengths) if ln]
+    if 1 <= len(live) <= 2 and all(s < 256 for s in live):
+        bw.bits(1, 1)  # simple
+        bw.bits(len(live) - 1, 1)
+        s0 = live[0]
+        if s0 <= 1:
+            bw.bits(0, 1)
+            bw.bits(s0, 1)
+        else:
+            bw.bits(1, 1)
+            bw.bits(s0, 8)
+        if len(live) == 2:
+            bw.bits(live[1], 8)
+        return
+    bw.bits(0, 1)
+    # token stream: literals + zero-runs via 17/18 (no 16-repeats — the
+    # writer favors simplicity; decoders accept any valid token mix)
+    tokens: list[tuple[int, int, int]] = []  # (symbol, extra, extra_bits)
+    i = 0
+    n = len(lengths)
+    while i < n:
+        if lengths[i] == 0:
+            run = 1
+            while i + run < n and lengths[i + run] == 0:
+                run += 1
+            left = run
+            while left >= 11:
+                chunk = min(left, 11 + 127)
+                tokens.append((18, chunk - 11, 7))
+                left -= chunk
+            while left >= 3:
+                chunk = min(left, 3 + 7)
+                tokens.append((17, chunk - 3, 3))
+                left -= chunk
+            for _ in range(left):
+                tokens.append((0, 0, 0))
+            i += run
+        else:
+            tokens.append((lengths[i], 0, 0))
+            i += 1
+    freq: dict[int, int] = {}
+    for t, _, _ in tokens:
+        freq[t] = freq.get(t, 0) + 1
+    clc = _limited_lengths(freq, 19, cap=7)
+    order_pos = {c: i for i, c in enumerate(_CLC_ORDER)}
+    n_codes = max(4, 1 + max(order_pos[c] for c in range(19) if clc[c]))
+    bw.bits(n_codes - 4, 4)
+    for i in range(n_codes):
+        bw.bits(clc[_CLC_ORDER[i]], 3)
+    bw.bits(0, 1)  # no max_symbol early-out
+    codes = _canonical(clc)
+    single = sum(1 for ln in clc if ln) == 1
+    for t, extra, ebits in tokens:
+        if not single:
+            c, ln = codes[t]
+            bw.code(c, ln)
+        if ebits:
+            bw.bits(extra, ebits)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+
+
+def _green_alphabet(cache_bits: int) -> int:
+    return 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+
+
+def _read_groups(br: _BitReader, cache_bits: int, n_groups: int) -> list:
+    groups = []
+    for _ in range(n_groups):
+        g = _Decoder(_read_code_lengths(br, _green_alphabet(cache_bits)))
+        r = _Decoder(_read_code_lengths(br, 256))
+        b = _Decoder(_read_code_lengths(br, 256))
+        a = _Decoder(_read_code_lengths(br, 256))
+        d = _Decoder(_read_code_lengths(br, 40))
+        groups.append((g, r, b, a, d))
+    return groups
+
+
+def _decode_pixels(br: _BitReader, w: int, h: int, level0: bool):
+    """One entropy-coded image → (h, w, 4) uint8 ARGB (A,R,G,B order)."""
+    meta = None
+    meta_bits = 0
+    if level0 and br.bit():
+        meta_bits = br.bits(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta = _decode_pixels(br, mw, mh, False)
+    cache_bits = br.bits(4) if br.bit() else 0
+    if cache_bits > 11:
+        raise ValueError("VP8L: color cache too large")
+    n_groups = 1
+    if meta is not None:
+        idx = (meta[:, :, 1].astype(np.int32) << 8) | meta[:, :, 2]
+        n_groups = int(idx.max()) + 1
+    groups = _read_groups(br, cache_bits, n_groups)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    out = np.zeros((h * w, 4), np.uint8)
+    pos = 0
+    n = h * w
+
+    def push_cache(argb: tuple) -> None:
+        if cache is not None:
+            key = (
+                0x1E35A7BD
+                * ((argb[0] << 24) | (argb[1] << 16) | (argb[2] << 8) | argb[3])
+                & 0xFFFFFFFF
+            ) >> (32 - cache_bits)
+            cache[key] = argb
+
+    gdec = groups[0]
+    while pos < n:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            gdec = groups[int(idx[y >> meta_bits, x >> meta_bits])]
+        code_g, code_r, code_b, code_a, code_d = gdec
+        s = code_g.read(br)
+        if s < 256:
+            r = code_r.read(br)
+            b = code_b.read(br)
+            a = code_a.read(br)
+            out[pos] = (a, r, s, b)
+            push_cache((a, r, s, b))
+            pos += 1
+        elif s < 280:
+            length = _prefix_decode(s - 256, br)
+            dsym = code_d.read(br)
+            dist = _dist_from_code(_prefix_decode(dsym, br), w)
+            if dist > pos:
+                raise ValueError("VP8L: backref before image start")
+            for _ in range(length):
+                if pos >= n:
+                    raise ValueError("VP8L: backref past image end")
+                out[pos] = out[pos - dist]
+                push_cache(tuple(int(v) for v in out[pos]))
+                pos += 1
+        else:
+            if cache is None:
+                raise ValueError("VP8L: cache symbol without cache")
+            out[pos] = cache[s - 280]
+            pos += 1
+    return out.reshape(h, w, 4)
+
+
+def _inv_subtract_green(img: np.ndarray) -> np.ndarray:
+    g = img[:, :, 2].astype(np.int32)
+    img[:, :, 1] = (img[:, :, 1] + g) & 0xFF
+    img[:, :, 3] = (img[:, :, 3] + g) & 0xFF
+    return img
+
+
+def _avg2(a, b):
+    return tuple((int(x) + int(y)) // 2 for x, y in zip(a, b))
+
+
+def _clamp_add_sub_full(l, t, tl):
+    return tuple(
+        min(255, max(0, int(a) + int(b) - int(c))) for a, b, c in zip(l, t, tl)
+    )
+
+
+def _clamp_add_sub_half(avg, tl):
+    out = []
+    for a, c in zip(avg, tl):
+        v = int(a) + (int(a) - int(c)) // 2
+        out.append(min(255, max(0, v)))
+    return tuple(out)
+
+
+def _select(l, t, tl):
+    p = [int(a) + int(b) - int(c) for a, b, c in zip(l, t, tl)]
+    pl = sum(abs(x - int(y)) for x, y in zip(p, l))
+    pt = sum(abs(x - int(y)) for x, y in zip(p, t))
+    return tuple(l) if pl < pt else tuple(t)
+
+
+def _predict(mode: int, l, t, tr, tl):
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return tuple(l)
+    if mode == 2:
+        return tuple(t)
+    if mode == 3:
+        return tuple(tr)
+    if mode == 4:
+        return tuple(tl)
+    if mode == 5:
+        return _avg2(_avg2(l, tr), t)
+    if mode == 6:
+        return _avg2(l, tl)
+    if mode == 7:
+        return _avg2(l, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select(l, t, tl)
+    if mode == 12:
+        return _clamp_add_sub_full(l, t, tl)
+    if mode == 13:
+        return _clamp_add_sub_half(_avg2(l, t), tl)
+    raise ValueError(f"VP8L: bad predictor mode {mode}")
+
+
+def _inv_predictor(img: np.ndarray, modes: np.ndarray, size_bits: int) -> np.ndarray:
+    h, w, _ = img.shape
+    out = img.astype(np.int32)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = tuple(out[0, x - 1])
+            elif x == 0:
+                pred = tuple(out[y - 1, 0])
+            else:
+                mode = int(modes[y >> size_bits, x >> size_bits, 2])
+                l = out[y, x - 1]
+                t = out[y - 1, x]
+                tr = out[y - 1, x + 1] if x + 1 < w else out[y - 1, 0]
+                tl = out[y - 1, x - 1]
+                pred = _predict(mode, l, t, tr, tl)
+            out[y, x] = (out[y, x] + np.array(pred, np.int32)) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _delta(t: int, v: int) -> int:
+    return ((t if t < 128 else t - 256) * (v if v < 128 else v - 256)) >> 5
+
+
+def _inv_color_transform(img: np.ndarray, elems: np.ndarray, size_bits: int) -> np.ndarray:
+    h, w, _ = img.shape
+    out = img.astype(np.int32)
+    for y in range(h):
+        for x in range(w):
+            e = elems[y >> size_bits, x >> size_bits]
+            # spec channel layout: green_to_red lives in the BLUE
+            # channel, green_to_blue in GREEN, red_to_blue in RED
+            g2r, g2b, r2b = int(e[3]), int(e[2]), int(e[1])
+            g = out[y, x, 2]
+            r = (out[y, x, 1] + _delta(g2r, g)) & 0xFF
+            b = (out[y, x, 3] + _delta(g2b, g) + _delta(r2b, r)) & 0xFF
+            out[y, x, 1] = r
+            out[y, x, 3] = b
+    return out.astype(np.uint8)
+
+
+def _inv_color_indexing(img: np.ndarray, palette: np.ndarray, full_w: int) -> np.ndarray:
+    n = len(palette)
+    if n <= 2:
+        bits = 3
+    elif n <= 4:
+        bits = 2
+    elif n <= 16:
+        bits = 1
+    else:
+        bits = 0
+    h = img.shape[0]
+    idx = img[:, :, 2]  # indices live in the green channel
+    if bits:
+        per = 1 << bits  # pixels per packed byte
+        width_bits = 8 >> bits
+        unpacked = np.zeros((h, full_w), np.uint8)
+        for x in range(full_w):
+            src = idx[:, x >> bits]
+            shift = (x & (per - 1)) * width_bits
+            unpacked[:, x] = (src >> shift) & ((1 << width_bits) - 1)
+        idx = unpacked
+    idx = np.minimum(idx.astype(np.int32), n - 1)
+    return palette[idx]
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WebP bytes → (h, w, 3) uint8 RGB. Lossless (VP8L) only; lossy
+    VP8 and VP8X-extended files raise NotImplementedError naming the
+    feature (they need libwebp/libvpx)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP/RIFF container")
+    fourcc = data[12:16]
+    if fourcc == b"VP8 ":
+        raise NotImplementedError("lossy VP8 WebP requires libwebp (absent here)")
+    if fourcc == b"VP8X":
+        raise NotImplementedError("extended VP8X WebP requires libwebp (absent here)")
+    if fourcc != b"VP8L":
+        raise ValueError(f"unknown WebP chunk {fourcc!r}")
+    payload = data[20 : 20 + struct.unpack("<I", data[16:20])[0]]
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    br = _BitReader(payload[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bit()  # alpha hint
+    if br.bits(3) != 0:
+        raise ValueError("VP8L: unsupported version")
+    transforms = []  # (type, data...), stream order
+    xsize = w
+    seen = set()
+    while br.bit():
+        t = br.bits(2)
+        if t in seen:
+            raise ValueError("VP8L: duplicate transform")
+        seen.add(t)
+        if t == 0:  # predictor
+            size_bits = br.bits(3) + 2
+            bw_ = (xsize + (1 << size_bits) - 1) >> size_bits
+            bh_ = (h + (1 << size_bits) - 1) >> size_bits
+            transforms.append((0, size_bits, _decode_pixels(br, bw_, bh_, False)))
+        elif t == 1:  # color transform
+            size_bits = br.bits(3) + 2
+            bw_ = (xsize + (1 << size_bits) - 1) >> size_bits
+            bh_ = (h + (1 << size_bits) - 1) >> size_bits
+            transforms.append((1, size_bits, _decode_pixels(br, bw_, bh_, False)))
+        elif t == 2:  # subtract green
+            transforms.append((2,))
+        else:  # color indexing
+            n_colors = br.bits(8) + 1
+            pal_img = _decode_pixels(br, n_colors, 1, False)
+            # palette is delta-coded along the row
+            pal = pal_img[0].astype(np.int32)
+            pal = np.cumsum(pal, axis=0) & 0xFF
+            transforms.append((3, n_colors, pal.astype(np.uint8)))
+            if n_colors <= 2:
+                xsize = (xsize + 7) >> 3
+            elif n_colors <= 4:
+                xsize = (xsize + 3) >> 2
+            elif n_colors <= 16:
+                xsize = (xsize + 1) >> 1
+    img = _decode_pixels(br, xsize, h, True)
+    cur_w = xsize
+    for tr in reversed(transforms):
+        if tr[0] == 2:
+            img = _inv_subtract_green(img)
+        elif tr[0] == 0:
+            img = _inv_predictor(img, tr[2], tr[1])
+        elif tr[0] == 1:
+            img = _inv_color_transform(img, tr[2], tr[1])
+        else:
+            img = _inv_color_indexing(img, tr[2], w)
+            cur_w = w
+    if img.shape[1] != w:
+        raise ValueError("VP8L: width mismatch after transforms")
+    return np.ascontiguousarray(img[:, :, 1:4])  # ARGB → RGB
+
+
+# --------------------------------------------------------------------------
+# Encoder
+
+
+class _SymbolStream:
+    """Token stream for one entropy-coded image: literals, cache hits,
+    and (length, distance) backrefs, with two-pass histogram → emit."""
+
+    def __init__(self, cache_bits: int = 0) -> None:
+        self.tokens: list[tuple] = []
+        self.cache_bits = cache_bits
+
+    def literal(self, a: int, r: int, g: int, b: int) -> None:
+        self.tokens.append(("lit", a, r, g, b))
+
+    def cache_hit(self, index: int) -> None:
+        self.tokens.append(("cache", index))
+
+    def backref(self, length: int, dist_code: int) -> None:
+        self.tokens.append(("ref", length, dist_code))
+
+    def _prepare(self, bw: _BitWriter):
+        """Histogram the tokens, write the five code-length tables, and
+        return (codes, single) for emission."""
+        gf: dict[int, int] = {}
+        rf: dict[int, int] = {}
+        bf: dict[int, int] = {}
+        af: dict[int, int] = {}
+        df: dict[int, int] = {}
+
+        def bump(d, k):
+            d[k] = d.get(k, 0) + 1
+
+        for tok in self.tokens:
+            if tok[0] == "lit":
+                _, a, r, g, b = tok
+                bump(gf, g)
+                bump(rf, r)
+                bump(bf, b)
+                bump(af, a)
+            elif tok[0] == "cache":
+                bump(gf, 256 + 24 + tok[1])
+            else:
+                _, length, dist_code = tok
+                bump(gf, 256 + _prefix_encode(length)[0])
+                bump(df, _prefix_encode(dist_code)[0])
+        if not gf:
+            bump(gf, 0)
+        for f in (rf, bf, af, df):
+            if not f:
+                bump(f, 0)
+        lens = {
+            "g": _limited_lengths(gf, _green_alphabet(self.cache_bits)),
+            "r": _limited_lengths(rf, 256),
+            "b": _limited_lengths(bf, 256),
+            "a": _limited_lengths(af, 256),
+            "d": _limited_lengths(df, 40),
+        }
+        for k in ("g", "r", "b", "a", "d"):
+            _write_code_lengths(bw, lens[k])
+        codes = {k: _canonical(v) for k, v in lens.items()}
+        single = {k: sum(1 for ln in v if ln) == 1 for k, v in lens.items()}
+        return codes, single
+
+    def write(self, bw: _BitWriter) -> None:
+        codes, single = self._prepare(bw)
+
+        def emit(k, sym):
+            if not single[k]:
+                c, ln = codes[k][sym]
+                bw.code(c, ln)
+
+        for tok in self.tokens:
+            if tok[0] == "lit":
+                _, a, r, g, b = tok
+                emit("g", g)
+                emit("r", r)
+                emit("b", b)
+                emit("a", a)
+            elif tok[0] == "cache":
+                emit("g", 256 + 24 + tok[1])
+            else:
+                _, length, dist_code = tok
+                sym, extra, ebits = _prefix_encode(length)
+                emit("g", 256 + sym)
+                if ebits:
+                    bw.bits(extra, ebits)
+                sym, extra, ebits = _prefix_encode(dist_code)
+                emit("d", sym)
+                if ebits:
+                    bw.bits(extra, ebits)
+
+
+def _tokenize(
+    argb: np.ndarray,
+    w: int,
+    cache_bits: int,
+    use_lz77: bool,
+    short_codes: bool,
+) -> _SymbolStream:
+    """Pixel stream → tokens: optional distance-1 run LZ77 (the RLE
+    backref every decoder must handle) + optional color cache."""
+    flat = argb.reshape(-1, 4)
+    n = len(flat)
+    stream = _SymbolStream(cache_bits)
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    dist1_code = _SHORT_CODE[(1, 0)] if short_codes else 1 + 120
+
+    def cache_key(px):
+        v = (int(px[0]) << 24) | (int(px[1]) << 16) | (int(px[2]) << 8) | int(px[3])
+        return (0x1E35A7BD * v & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    i = 0
+    while i < n:
+        px = flat[i]
+        if use_lz77 and i > 0 and np.array_equal(px, flat[i - 1]):
+            run = 1
+            while i + run < n and np.array_equal(flat[i + run], flat[i - 1]):
+                run += 1
+            left = run
+            while left > 0:
+                chunk = min(left, 4096)
+                stream.backref(chunk, dist1_code)
+                left -= chunk
+            if cache is not None:
+                t = tuple(int(v) for v in px)
+                cache[cache_key(t)] = t
+            i += run
+            continue
+        t = tuple(int(v) for v in px)
+        if cache is not None:
+            k = cache_key(t)
+            if cache[k] == t:
+                stream.cache_hit(k)
+                i += 1
+                continue
+            cache[k] = t
+        stream.literal(*t)
+        i += 1
+    return stream
+
+
+def encode_webp(
+    pixels: np.ndarray,
+    subtract_green: bool = True,
+    cache_bits: int = 0,
+    use_lz77: bool = True,
+    short_codes: bool = False,
+    palette: bool = False,
+    predictor_modes: np.ndarray | None = None,
+    predictor_size_bits: int = 4,
+    color_elems: np.ndarray | None = None,
+    color_size_bits: int = 4,
+    meta_group_bits: int | None = None,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → lossless WebP (VP8L). Always lossless.
+
+    Feature knobs exist so round-trip tests drive every decoder path:
+    ``palette=True`` uses COLOR_INDEXING (requires <= 256 distinct
+    colors; sub-byte packing kicks in at <= 16), ``predictor_modes``
+    is an (bh, bw) int array of per-block predictor modes (enables the
+    PREDICTOR transform), ``short_codes`` emits the distance-1 run
+    through the neighbor map instead of the linear form."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    argb = np.zeros((h, w, 4), np.uint8)
+    argb[:, :, 0] = 255
+    argb[:, :, 1:4] = pixels
+    bw_ = _BitWriter()
+    bw_.bits(w - 1, 14)
+    bw_.bits(h - 1, 14)
+    bw_.bits(0, 1)  # no alpha hint
+    bw_.bits(0, 3)  # version
+
+    xsize = w
+    if palette:
+        flat = pixels.reshape(-1, 3)
+        colors = np.unique(flat, axis=0)
+        if len(colors) > 256:
+            raise ValueError("palette mode needs <= 256 distinct colors")
+        lut = {tuple(int(v) for v in col): i for i, col in enumerate(colors)}
+        idx = np.array(
+            [lut[tuple(int(v) for v in px)] for px in flat], np.uint8
+        ).reshape(h, w)
+        bw_.bits(1, 1)
+        bw_.bits(3, 2)  # COLOR_INDEXING
+        n_colors = len(colors)
+        bw_.bits(n_colors - 1, 8)
+        pal_argb = np.zeros((1, n_colors, 4), np.uint8)
+        pal_argb[0, :, 0] = 255
+        pal_argb[0, :, 1:4] = colors
+        delta = pal_argb.astype(np.int32).copy()
+        delta[0, 1:] = (pal_argb[0, 1:].astype(np.int32) - pal_argb[0, :-1]) & 0xFF
+        _encode_entropy_image(bw_, delta.astype(np.uint8), 0, use_lz77, False)
+        if n_colors <= 2:
+            per, wbits = 8, 1
+        elif n_colors <= 4:
+            per, wbits = 4, 2
+        elif n_colors <= 16:
+            per, wbits = 2, 4
+        else:
+            per, wbits = 1, 8
+        if per > 1:
+            xsize = (w + per - 1) // per
+            packed = np.zeros((h, xsize), np.uint8)
+            for x in range(w):
+                packed[:, x // per] |= idx[:, x] << ((x % per) * wbits)
+        else:
+            packed = idx
+        argb = np.zeros((h, xsize, 4), np.uint8)
+        argb[:, :, 0] = 255
+        argb[:, :, 2] = packed
+        bw_.bits(0, 1)  # end of transforms
+        _encode_entropy_image(bw_, argb, cache_bits, use_lz77, True, short_codes)
+        return _riff(bw_.bytes())
+
+    if color_elems is not None:
+        bw_.bits(1, 1)
+        bw_.bits(1, 2)  # COLOR transform
+        sb = color_size_bits
+        bw_.bits(sb - 2, 3)
+        bh_ = (h + (1 << sb) - 1) >> sb
+        bwid = (w + (1 << sb) - 1) >> sb
+        assert color_elems.shape == (bh_, bwid, 3)  # (g2r, g2b, r2b) per block
+        elem_img = np.zeros((bh_, bwid, 4), np.uint8)
+        elem_img[:, :, 0] = 255
+        elem_img[:, :, 3] = color_elems[:, :, 0]  # green_to_red → blue
+        elem_img[:, :, 2] = color_elems[:, :, 1]  # green_to_blue → green
+        elem_img[:, :, 1] = color_elems[:, :, 2]  # red_to_blue → red
+        _encode_entropy_image(bw_, elem_img, 0, use_lz77, False)
+        argb = _fwd_color_transform(argb, color_elems, sb)
+    if predictor_modes is not None:
+        bw_.bits(1, 1)
+        bw_.bits(0, 2)  # PREDICTOR
+        sb = predictor_size_bits
+        bw_.bits(sb - 2, 3)
+        bh_ = (h + (1 << sb) - 1) >> sb
+        bwid = (w + (1 << sb) - 1) >> sb
+        assert predictor_modes.shape == (bh_, bwid)
+        mode_img = np.zeros((bh_, bwid, 4), np.uint8)
+        mode_img[:, :, 0] = 255
+        mode_img[:, :, 2] = predictor_modes
+        _encode_entropy_image(bw_, mode_img, 0, use_lz77, False)
+        argb = _fwd_predictor(argb, predictor_modes, sb)
+    if subtract_green:
+        bw_.bits(1, 1)
+        bw_.bits(2, 2)  # SUBTRACT_GREEN
+        g = argb[:, :, 2].astype(np.int32)
+        argb = argb.copy()
+        argb[:, :, 1] = (argb[:, :, 1].astype(np.int32) - g) & 0xFF
+        argb[:, :, 3] = (argb[:, :, 3].astype(np.int32) - g) & 0xFF
+    bw_.bits(0, 1)  # end of transforms
+    if meta_group_bits is not None:
+        _encode_meta_image(bw_, argb, meta_group_bits)
+    else:
+        _encode_entropy_image(bw_, argb, cache_bits, use_lz77, True, short_codes)
+    return _riff(bw_.bytes())
+
+
+def _fwd_color_transform(argb: np.ndarray, elems: np.ndarray, size_bits: int) -> np.ndarray:
+    """Forward COLOR transform: exact inverse of _inv_color_transform
+    (residual red first, then blue against the ORIGINAL red)."""
+    h, w, _ = argb.shape
+    out = argb.astype(np.int32).copy()
+    for y in range(h):
+        for x in range(w):
+            g2r, g2b, r2b = (int(v) for v in elems[y >> size_bits, x >> size_bits])
+            g = out[y, x, 2]
+            r = out[y, x, 1]
+            out[y, x, 1] = (r - _delta(g2r, g)) & 0xFF
+            out[y, x, 3] = (out[y, x, 3] - _delta(g2b, g) - _delta(r2b, r)) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _encode_meta_image(bw: _BitWriter, argb: np.ndarray, meta_bits: int) -> None:
+    """Two prefix-code groups selected by a meta image (checkerboard of
+    blocks) — literals only, so group membership is per-pixel exact."""
+    h, w, _ = argb.shape
+    mw = (w + (1 << meta_bits) - 1) >> meta_bits
+    mh = (h + (1 << meta_bits) - 1) >> meta_bits
+    by, bx = np.meshgrid(np.arange(mh), np.arange(mw), indexing="ij")
+    group = ((bx + by) % 2).astype(np.uint8)
+    bw.bits(1, 1)  # meta prefix image present
+    bw.bits(meta_bits - 2, 3)
+    meta_img = np.zeros((mh, mw, 4), np.uint8)
+    meta_img[:, :, 0] = 255
+    meta_img[:, :, 2] = group
+    _encode_entropy_image(bw, meta_img, 0, True, False)
+    bw.bits(0, 1)  # no color cache
+    streams = [_SymbolStream(0), _SymbolStream(0)]
+    flat = argb.reshape(-1, 4)
+    for i, px in enumerate(flat):
+        x, y = i % w, i // w
+        streams[int(group[y >> meta_bits, x >> meta_bits])].literal(
+            *(int(v) for v in px)
+        )
+    # interleave code tables and emission: tables for group 0, then 1,
+    # then one pass over pixels emitting with the owning group's codes
+    metas = []
+    for s in streams:
+        metas.append(s._prepare(bw))
+    for i, px in enumerate(flat):
+        x, y = i % w, i // w
+        g = int(group[y >> meta_bits, x >> meta_bits])
+        codes, single = metas[g]
+        a, r, gg, b = (int(v) for v in px)
+        for k, sym in (("g", gg), ("r", r), ("b", b), ("a", a)):
+            if not single[k]:
+                c, ln = codes[k][sym]
+                bw.code(c, ln)
+
+
+def _fwd_predictor(argb: np.ndarray, modes: np.ndarray, size_bits: int) -> np.ndarray:
+    """Residuals for the decoder's inverse scan — computed against the
+    RECONSTRUCTED (original) neighbors, exactly what _inv_predictor
+    rebuilds."""
+    h, w, _ = argb.shape
+    src = argb.astype(np.int32)
+    out = np.zeros_like(src)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = tuple(src[0, x - 1])
+            elif x == 0:
+                pred = tuple(src[y - 1, 0])
+            else:
+                mode = int(modes[y >> size_bits, x >> size_bits])
+                l = src[y, x - 1]
+                t = src[y - 1, x]
+                tr = src[y - 1, x + 1] if x + 1 < w else src[y - 1, 0]
+                tl = src[y - 1, x - 1]
+                pred = _predict(mode, l, t, tr, tl)
+            out[y, x] = (src[y, x] - np.array(pred, np.int32)) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _encode_entropy_image(
+    bw: _BitWriter,
+    argb: np.ndarray,
+    cache_bits: int,
+    use_lz77: bool,
+    level0: bool,
+    short_codes: bool = False,
+) -> None:
+    if level0:
+        bw.bits(0, 1)  # no meta prefix image
+    if cache_bits:
+        bw.bits(1, 1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bits(0, 1)
+    _tokenize(argb, argb.shape[1], cache_bits, use_lz77, short_codes).write(bw)
+
+
+def _riff(payload: bytes) -> bytes:
+    vp8l = b"\x2f" + payload
+    if len(vp8l) % 2:
+        chunk = struct.pack("<4sI", b"VP8L", len(vp8l)) + vp8l + b"\x00"
+    else:
+        chunk = struct.pack("<4sI", b"VP8L", len(vp8l)) + vp8l
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -68,7 +68,7 @@ def test_h48_range_and_determinism(s):
     assert v == h48_py(s)
 
 
-@given(st.integers(0, 10_000), st.sampled_from(["png", "jpeg", "qnt", "bmp"]))
+@given(st.integers(0, 10_000), st.sampled_from(["png", "jpeg", "qnt", "bmp", "webp"]))
 @settings(max_examples=50, deadline=None)
 def test_codec_roundtrip_properties(seed, fmt):
     rng = np.random.default_rng(seed)
@@ -76,7 +76,7 @@ def test_codec_roundtrip_properties(seed, fmt):
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     out = decode_image(encode_image(px, fmt))
     assert out.shape == px.shape
-    if fmt in ("png", "bmp"):
+    if fmt in ("png", "bmp", "webp"):
         assert np.array_equal(out, px)
     else:
         assert psnr(px, out) >= 40.0

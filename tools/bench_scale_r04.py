@@ -237,8 +237,13 @@ def kmeans_mb(cpus: int, copies: int = 512) -> dict:
         app_name=f"kmeansmb-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
     )
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # repartition the SMALL pre-explode side so generation parallelizes
+    # (exploding from the 1-file scan pins a 10M-row 5 GB stage to one
+    # task and then needs a full post-explode shuffle — measured
+    # single-core-bound at copies=5120)
     big = (
-        e.select(
+        e.repartition(max(cpus * 2, 8))
+        .select(
             "vec_id",
             "embedding",
             F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("c"),
@@ -249,7 +254,6 @@ def kmeans_mb(cpus: int, copies: int = 512) -> dict:
                 "embedding", lambda x: x + F.col("c").cast("double") * F.lit(1e-4)
             ).alias("embedding"),
         )
-        .repartition(max(cpus * 2, 8))
         .persist()
     )
     n = big.count()
