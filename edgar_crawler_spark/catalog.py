@@ -1887,6 +1887,7 @@ _SQL_PAYLOAD_META = """
          CASE WHEN i % 3 = 0 THEN (CASE WHEN i % 21 = 0 THEN 'jpeg' ELSE 'qnt' END)
               WHEN i % 11 = 4 THEN 'bmp'
               WHEN i % 13 = 6 THEN 'gif'
+              WHEN i % 17 = 8 THEN 'webp'
               ELSE 'png' END AS fmt,
          printf('%010d-22-%06d', 100000 + i % 997, i) AS image_id
   FROM range(0, 1000) t(i)
