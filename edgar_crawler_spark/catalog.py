@@ -1816,6 +1816,44 @@ def q_image_stats(spark, sf):
     )
 
 
+def q_image_thumb_phash(spark, sf):
+    """Perceptual hash from the 1/8-scale DC thumbnail vs the full
+    decode (operators/multimodal.py:thumbnail_phash): JPEG rows skip
+    AC storage + IDCT (progressive rows skip the AC scans' entropy
+    bytes outright) — the decode cost a 100 TB image-dedup pass should
+    pay. The query joins the fast-path hash against the full-decode
+    hash per image and reports bit agreement. Rows-only (no SQL engine
+    decodes JPEG DC). The fixture's images are 16-32 px (thumbnails
+    2x4-4x4), so agreement here is structural, not bit-exact; the
+    >=62/64 parity contract at real image sizes (thumbnail >= 8x8) and
+    the AC-bytes-never-decoded guarantee are pinned in
+    tests/test_thumbnail.py. The join-back carries a shuffle_hash hint:
+    both sides are Python-map nodes whose sizes Catalyst mis-estimates
+    (CLAUDE.md r02 scale bug)."""
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import (
+        decode_and_validate,
+        thumbnail_phash,
+    )
+
+    src = payload_df(spark, 1000).select("image_id", "bytes")
+    full = decode_and_validate(src).select(
+        "image_id", "fmt", F.col("phash").alias("full_phash")
+    )
+    fast = thumbnail_phash(src).select(
+        "image_id", "thumb_w", "thumb_h", F.col("phash").alias("thumb_phash")
+    )
+    return full.join(fast.hint("shuffle_hash"), "image_id").select(
+        "image_id",
+        "fmt",
+        "thumb_w",
+        "thumb_h",
+        (64 - F.bit_count(F.col("full_phash").bitwiseXOR(F.col("thumb_phash")))).alias(
+            "bits_agree"
+        ),
+    )
+
+
 def q_image_transcode(spark, sf):
     """Storage transcode pass (operators/multimodal.py:transcode_images):
     decode every payload container and re-encode as baseline JPEG
@@ -2541,6 +2579,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "video_frame_sample": (q_video_frames, None),
     "video_frame_near_dup": (q_video_frame_near_dup, None),
     "image_stats": (q_image_stats, None),
+    "image_thumb_phash": (q_image_thumb_phash, None),
     "image_transcode": (q_image_transcode, None),
     "image_scrub_metadata": (q_image_scrub_metadata, None),
     "image_caption_gates": (q_image_caption_gates, SQL_IMAGE_GATES),

@@ -219,6 +219,42 @@ def decode_image(data: bytes) -> np.ndarray:
     raise ValueError("unknown image container")
 
 
+def box_downsample8(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 -> (ceil(h/8), ceil(w/8), 3) uint8 of 8x8 tile
+    means (partial edge tiles average what exists).  Integral-image
+    formulation: one cumsum pass regardless of image size."""
+    h, w = px.shape[:2]
+    th, tw = -(-h // 8), -(-w // 8)
+    ys = np.minimum(np.arange(th + 1) * 8, h)
+    xs = np.minimum(np.arange(tw + 1) * 8, w)
+    s = np.zeros((h + 1, w + 1, 3))
+    np.cumsum(np.cumsum(px.astype(np.float64), 0), 1, out=s[1:, 1:])
+    sums = (
+        s[ys[1:, None], xs[None, 1:]]
+        - s[ys[:-1, None], xs[None, 1:]]
+        - s[ys[1:, None], xs[None, :-1]]
+        + s[ys[:-1, None], xs[None, :-1]]
+    )
+    area = np.outer(np.diff(ys), np.diff(xs))[..., None]
+    return np.clip(np.round(sums / area), 0, 255).astype(np.uint8)
+
+
+def decode_thumbnail(data: bytes) -> np.ndarray:
+    """1/8-scale RGB thumbnail: (ceil(h/8), ceil(w/8), 3) uint8.
+
+    JPEG streams take the DC fast path (jpegcodec/jpegprog
+    ``dc_only=True``): no AC storage, no IDCT, and progressive streams
+    skip the AC scans' entropy bytes outright — the cheap way to feed a
+    perceptual-hash dedup pass at corpus scale.  Other containers have
+    no partial-decode structure, so they decode fully and box-
+    downsample (same output contract, honest full cost)."""
+    if data[:2] == b"\xff\xd8":
+        from edgar_crawler_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data, dc_only=True)
+    return box_downsample8(decode_image(data))
+
+
 def sniff_format(data: bytes) -> str | None:
     """Container label from magic bytes (None = unrecognized)."""
     if data[:8] == _PNG_SIG:
@@ -423,9 +459,15 @@ def decode_video(data: bytes) -> tuple[float, np.ndarray]:
 
 def average_hash(pixels: np.ndarray) -> int:
     """64-bit average-hash (aHash): grayscale → 8×8 block means →
-    bit = mean(block) > mean(all). Signed int64 for a LongType column."""
+    bit = mean(block) > mean(all). Signed int64 for a LongType column.
+    Inputs under 8px on a side (e.g. 1/8-scale thumbnails of small
+    images) are nearest-upsampled first — the integer bin edges would
+    otherwise produce empty blocks (0/0)."""
     g = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     h, w = g.shape
+    if h < 8 or w < 8:
+        g = np.repeat(np.repeat(g, -(-8 // h), axis=0), -(-8 // w), axis=1)
+        h, w = g.shape
     # integral image → all 64 block means in one vectorized shot
     s = np.zeros((h + 1, w + 1))
     np.cumsum(np.cumsum(g, 0), 1, out=s[1:, 1:])

@@ -530,10 +530,78 @@ def _decode_segment(
         raise ValueError("entropy data truncated") from None
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def _decode_segment_dc(
+    seg: bytes,
+    n_mcus: int,
+    comps: list[dict],
+    preds: list[int],
+    out_dc: list[list[int]],
+) -> None:
+    """DC-only twin of :func:`_decode_segment`: the AC coefficients
+    must still be Huffman-walked (the bit position depends on them) but
+    are never stored — and the caller skips dezigzag + IDCT entirely."""
+    windows = _bit_windows(seg)
+    nwin = len(windows)
+    p = 0
+    try:
+        for _ in range(n_mcus):
+            for ci, comp in enumerate(comps):
+                dc_sym, dc_len = comp["dc_lut"]
+                ac_sym, ac_len = comp["ac_lut"]
+                for _b in range(comp["h"] * comp["v"]):
+                    w16 = windows[p]
+                    ln = dc_len[w16]
+                    if ln == 0:
+                        raise ValueError("invalid DC Huffman code")
+                    s = dc_sym[w16]
+                    p += ln
+                    if s:
+                        raw = windows[p] >> (16 - s)
+                        p += s
+                        diff = raw - (1 << s) + 1 if raw < (1 << (s - 1)) else raw
+                    else:
+                        diff = 0
+                    preds[ci] += diff
+                    out_dc[ci].append(preds[ci])
+                    k = 1
+                    while k < 64:
+                        w16 = windows[p]
+                        ln = ac_len[w16]
+                        if ln == 0:
+                            raise ValueError("invalid AC Huffman code")
+                        sym = ac_sym[w16]
+                        p += ln
+                        if sym == 0:
+                            break
+                        run = sym >> 4
+                        s = sym & 0x0F
+                        if s == 0:
+                            if run != 15:
+                                raise ValueError(f"bad AC symbol {sym:#x}")
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        p += s
+                        k += 1
+            if p > nwin - 1:
+                raise ValueError("entropy data truncated")
+    except IndexError:
+        raise ValueError("entropy data truncated") from None
+
+
+def decode_jpeg(data: bytes, dc_only: bool = False) -> np.ndarray:
     """Baseline/extended-sequential JPEG bytes -> (h, w, 3) uint8 RGB
     (grayscale replicated to 3 channels).  Raises ValueError on corrupt
-    streams and NotImplementedError on non-baseline frame types."""
+    streams and NotImplementedError on non-baseline frame types.
+
+    ``dc_only=True`` returns the 1/8-scale DC thumbnail instead:
+    (ceil(h/8), ceil(w/8), 3).  Each DC coefficient is exactly 8x the
+    mean of its reconstructed 8x8 block, so the thumbnail is the
+    block-mean downsample of the full decode — computed without
+    storing AC coefficients or running any IDCT (the dominant decode
+    cost), which is what a 100 TB perceptual-dedup pass should pay."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
@@ -593,7 +661,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC2:  # progressive: delegate to the Annex-G decoder
             from edgar_crawler_spark.functions.jpegprog import decode_progressive
 
-            return decode_progressive(data)
+            return decode_progressive(data, dc_only=dc_only)
         elif marker in _NON_BASELINE_SOF:
             raise NotImplementedError(
                 f"{_NON_BASELINE_SOF[marker]} JPEG unsupported (baseline only)"
@@ -678,10 +746,39 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             break
         take = min(per_seg, n_mcus - done)
         preds = [0] * len(comps)
-        _decode_segment(seg, take, comps, preds, out_blocks)
+        if dc_only:
+            _decode_segment_dc(seg, take, comps, preds, out_blocks)
+        else:
+            _decode_segment(seg, take, comps, preds, out_blocks)
         done += take
     if done < n_mcus:
         raise ValueError(f"decoded {done}/{n_mcus} MCUs (truncated stream)")
+
+    if dc_only:
+        planes = []
+        for ci, comp in enumerate(comps):
+            q0 = float(qtables[comp["tq"]][0])
+            sh, sv = comp["h"], comp["v"]
+            dc = np.asarray(out_blocks[ci], np.float64) * q0 / 8.0 + 128.0
+            grid = (
+                dc.reshape(mcus_y, mcus_x, sv, sh)
+                .transpose(0, 2, 1, 3)
+                .reshape(mcus_y * sv, mcus_x * sh)
+            )
+            cw = -(-w * sh // hmax)
+            ch = -(-h * sv // vmax)
+            grid = grid[: -(-ch // 8), : -(-cw // 8)]
+            if sh != hmax or sv != vmax:
+                grid = np.repeat(
+                    np.repeat(grid, vmax // sv, axis=0), hmax // sh, axis=1
+                )
+            planes.append(grid[: -(-h // 8), : -(-w // 8)])
+        if len(planes) == 1:
+            g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            return np.repeat(g[:, :, None], 3, axis=2)
+        if len(planes) != 3:
+            raise ValueError(f"unsupported component count {len(planes)}")
+        return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
     planes = []
     for ci, comp in enumerate(comps):

@@ -592,8 +592,16 @@ def _scan_ac_refine(br, blocks, ac_lut, ss, se, al, state) -> None:
             state["eobrun"] -= 1
 
 
-def decode_progressive(data: bytes) -> np.ndarray:
-    """Progressive (SOF2) JPEG bytes -> (h, w, 3) uint8 RGB."""
+def decode_progressive(data: bytes, dc_only: bool = False) -> np.ndarray:
+    """Progressive (SOF2) JPEG bytes -> (h, w, 3) uint8 RGB.
+
+    ``dc_only=True`` returns the exact 1/8-scale DC thumbnail
+    (ceil(h/8), ceil(w/8), 3).  Progressive streams carry DC in
+    dedicated spectral-selection scans (Ss=0), so the AC scans' entropy
+    data is SKIPPED outright — only a byte-level marker scan advances
+    past them, no Huffman decode — which is the whole point of keeping
+    progressive streams in a training corpus: a dedup/thumbnail pass
+    reads a fraction of the entropy bits."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
@@ -680,11 +688,12 @@ def decode_progressive(data: bytes) -> np.ndarray:
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
             segments, nxt = _entropy_segments(data, pos + 2 + seglen)
-            _apply_scan(
-                frame, grids, nonint, htables, sel, ss, se, ah, al,
-                segments, restart_interval, mcus_x, mcus_y,
-            )
-            saw_scan = True
+            if not (dc_only and ss != 0):
+                _apply_scan(
+                    frame, grids, nonint, htables, sel, ss, se, ah, al,
+                    segments, restart_interval, mcus_x, mcus_y,
+                )
+                saw_scan = True
             pos = nxt
             continue
         pos += 2 + seglen
@@ -693,6 +702,28 @@ def decode_progressive(data: bytes) -> np.ndarray:
         raise ValueError("missing SOF2/SOS")
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
+
+    if dc_only:
+        planes = []
+        for ci, comp in enumerate(comps):
+            if comp["tq"] not in qtables:
+                raise ValueError("missing quantization table")
+            q0 = float(qtables[comp["tq"]][0])
+            grid = grids[ci][:, :, 0].astype(np.float64) * q0 / 8.0 + 128.0
+            bh, bw = nonint[ci]
+            grid = grid[:bh, :bw]
+            sh, sv = comp["h"], comp["v"]
+            if sh != hmax or sv != vmax:
+                grid = np.repeat(
+                    np.repeat(grid, vmax // sv, axis=0), hmax // sh, axis=1
+                )
+            planes.append(grid[: -(-h // 8), : -(-w // 8)])
+        if len(planes) == 1:
+            g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            return np.repeat(g[:, :, None], 3, axis=2)
+        if len(planes) != 3:
+            raise ValueError(f"unsupported component count {len(planes)}")
+        return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
     planes = []
     for ci, comp in enumerate(comps):

@@ -94,6 +94,64 @@ def decode_and_validate(
     return df.mapInPandas(run, out_schema)
 
 
+THUMB_SCHEMA_FIELDS = [
+    StructField("thumb_w", IntegerType()),
+    StructField("thumb_h", IntegerType()),
+    StructField("phash", LongType()),
+    StructField("decode_ok", StringType()),  # ok | <error class>
+]
+
+
+def thumbnail_phash(
+    df: DataFrame, bytes_col: str = "bytes", num_partitions: int | None = None
+) -> DataFrame:
+    """Perceptual hash from the 1/8-scale DC thumbnail instead of the
+    full decode (functions/imaging.py:decode_thumbnail): JPEG streams
+    skip AC storage + IDCT, and progressive JPEGs skip the AC scans'
+    entropy bytes outright — the decode cost a corpus-scale image-dedup
+    pass should pay. aHash over the thumbnail equals aHash over the
+    full decode whenever dims are multiples of 8 (the thumbnail IS the
+    8x8-block-mean image aHash starts from) and agrees to within a few
+    bits otherwise, so thumbnail hashes join against full-decode hashes.
+
+    Output: passthrough columns + (thumb_w, thumb_h, phash, decode_ok);
+    failures recorded per row, never thrown. Same explicit-repartition
+    discipline as :func:`decode_and_validate` (AQE must not coalesce a
+    CPU-bound Python stage)."""
+    passthrough = [
+        f for f in df.schema.fields if f.name not in {x.name for x in THUMB_SCHEMA_FIELDS}
+    ]
+    out_schema = StructType(passthrough + THUMB_SCHEMA_FIELDS)
+    keep = [f.name for f in passthrough]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(num_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from edgar_crawler_spark.functions.imaging import average_hash, decode_thumbnail
+
+        for pdf in batches:
+            rows = {"thumb_w": [], "thumb_h": [], "phash": [], "decode_ok": []}
+            for data in pdf[bytes_col]:
+                try:
+                    t = decode_thumbnail(bytes(data))
+                    rows["thumb_w"].append(t.shape[1])
+                    rows["thumb_h"].append(t.shape[0])
+                    rows["phash"].append(average_hash(t))
+                    rows["decode_ok"].append("ok")
+                except Exception as e:
+                    rows["thumb_w"].append(None)
+                    rows["thumb_h"].append(None)
+                    rows["phash"].append(None)
+                    rows["decode_ok"].append(type(e).__name__)
+            out = pdf[keep].copy()
+            for k, v in rows.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
 def resize_images(df: DataFrame, w: int, h: int, bytes_col: str = "bytes") -> DataFrame:
     """Nearest-neighbour resize, re-encoded as PNG — a real kernel
     (numpy indexing), shaped like any decode→transform→encode stage."""

@@ -1,0 +1,192 @@
+"""DC-thumbnail fast path: 1/8-scale decode without AC storage/IDCT
+(functions/imaging.py:decode_thumbnail, jpegcodec/jpegprog dc_only) and
+the thumbnail_phash operator built on it."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from edgar_crawler_spark.functions.imaging import (
+    average_hash,
+    box_downsample8,
+    decode_image,
+    decode_thumbnail,
+    encode_bmp,
+    encode_png,
+)
+from edgar_crawler_spark.functions.jpegcodec import encode_jpeg
+from edgar_crawler_spark.functions.jpegprog import encode_jpeg_progressive
+
+
+def _smooth_blocks(h, w, seed=0):
+    """8x8-block-flat image + small noise: JPEG at q98 is near-exact,
+    so DC-vs-block-mean comparisons isolate the thumbnail path."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(-(-h // 8), -(-w // 8), 3)).astype(np.float64)
+    px = np.kron(base, np.ones((8, 8, 1)))[:h, :w]
+    return np.clip(px + rng.normal(0, 3, (h, w, 3)), 0, 255).astype(np.uint8)
+
+
+def _gradient(h, w):
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    return np.stack([100 + 80 * yy, 100 + 80 * xx, 120 + 50 * yy * xx], -1).astype(
+        np.uint8
+    )
+
+
+@pytest.mark.parametrize("encode", [encode_jpeg, encode_jpeg_progressive])
+@pytest.mark.parametrize("dims", [(64, 64), (48, 40), (50, 43)])
+@pytest.mark.parametrize("rst", [0, 2])
+def test_dc_thumbnail_is_block_means(encode, dims, rst):
+    """4:4:4: each DC coefficient is exactly 8x its block's mean, so the
+    thumbnail equals the block-mean downsample of the full decode
+    (within rounding; edge blocks are encoder-padded by replication)."""
+    px = _smooth_blocks(*dims, seed=dims[0] + rst)
+    data = encode(px, restart_interval=rst)
+    thumb = decode_thumbnail(data)
+    ref = box_downsample8(decode_image(data))
+    assert thumb.shape == (-(-dims[0] // 8), -(-dims[1] // 8), 3)
+    diff = np.abs(thumb.astype(int) - ref.astype(int))
+    # interior blocks are exact-to-rounding; partial edge blocks differ
+    # by the encoder's replication padding (DC averages the padded 8x8)
+    assert diff[:-1, :-1].max() <= 2
+    assert diff.max() <= 4
+
+
+@pytest.mark.parametrize("encode", [encode_jpeg, encode_jpeg_progressive])
+@pytest.mark.parametrize("sub", ["4:2:0", "4:2:2"])
+def test_dc_thumbnail_subsampled(encode, sub):
+    """Subsampled chroma DC averages the chroma block's (wider) support
+    — identical to what libjpeg's 1/8-scale decode produces — so the
+    contract on non-flat chroma is smooth-image closeness, not
+    bit-equality with the 8x8 box means."""
+    px = _gradient(64, 64)
+    data = encode(px, subsampling=sub)
+    thumb = decode_thumbnail(data)
+    ref = box_downsample8(decode_image(data))
+    assert np.abs(thumb.astype(int) - ref.astype(int)).max() <= 8
+
+
+@pytest.mark.parametrize("encode", [encode_jpeg, encode_jpeg_progressive])
+def test_dc_thumbnail_grayscale(encode):
+    px = _smooth_blocks(56, 48, seed=9)[:, :, 0]
+    data = encode(px)
+    thumb = decode_thumbnail(data)
+    ref = box_downsample8(decode_image(data))
+    assert np.abs(thumb.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_ahash_parity_with_full_decode():
+    """The dedup contract: thumbnail hashes must join against
+    full-decode hashes. At 64x64 the thumbnail IS the 8x8 block-mean
+    grid aHash reduces to, so the hashes agree to >= 62/64 bits (uint8
+    rounding can flip a near-tie bit)."""
+    worst = 64
+    for seed in range(20):
+        px = _smooth_blocks(64, 64, seed=seed)
+        data = encode_jpeg(px)
+        t = average_hash(decode_thumbnail(data))
+        f = average_hash(decode_image(data))
+        worst = min(worst, 64 - bin((t ^ f) & ((1 << 64) - 1)).count("1"))
+    assert worst >= 62
+
+
+def _second_sos_entropy_start(data: bytes) -> int:
+    import struct
+
+    first = data.find(b"\xff\xda")
+    second = data.find(b"\xff\xda", first + 2)
+    assert second > 0
+    (seglen,) = struct.unpack(">H", data[second + 2 : second + 4])
+    return second + 2 + seglen
+
+
+def test_progressive_ac_bytes_never_decoded():
+    """The partial-read guarantee: corrupting an AC scan's entropy
+    bytes must not change the DC thumbnail (the AC scans are skipped by
+    byte-level marker scan, never Huffman-decoded)."""
+    px = np.random.default_rng(3).integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    data = encode_jpeg_progressive(px)
+    clean = decode_thumbnail(data)
+    e = _second_sos_entropy_start(data)
+    corrupt = data[:e] + b"\x55" * 16 + data[e + 16 :]
+    assert np.array_equal(decode_thumbnail(corrupt), clean)
+    # while the FULL decode does consume those bytes
+    full_clean = decode_image(data)
+    try:
+        full_corrupt = decode_image(corrupt)
+    except ValueError:
+        return
+    assert not np.array_equal(full_corrupt, full_clean)
+
+
+@pytest.mark.parametrize("encode", [encode_png, encode_bmp])
+def test_non_jpeg_containers_box_downsample(encode):
+    px = np.random.default_rng(5).integers(0, 256, size=(30, 30, 3), dtype=np.uint8)
+    data = encode(px)
+    assert np.array_equal(decode_thumbnail(data), box_downsample8(px))
+
+
+def test_small_thumbnail_hash_not_degenerate():
+    """Thumbnails of small images are under 8px — aHash must upsample,
+    not divide by zero-area bins; different images must hash apart."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    ha, hb = average_hash(a), average_hash(b)
+    assert ha == average_hash(a)
+    assert ha != hb
+
+
+def test_thumbnail_phash_operator(spark):
+    """Operator end-to-end over the payload fixture + a poisoned row:
+    per-row error recording, and fast-path hashes agree with full-path
+    hashes well inside a Hamming-dedup threshold."""
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import (
+        decode_and_validate,
+        thumbnail_phash,
+    )
+
+    src = payload_df(spark, 60).select("image_id", "bytes").unionByName(
+        spark.createDataFrame([("poisoned", b"not an image")], ["image_id", "bytes"])
+    )
+    fast = thumbnail_phash(src)
+    rows = {r.image_id: r for r in fast.collect()}
+    assert rows["poisoned"].decode_ok == "ValueError"
+    assert rows["poisoned"].phash is None
+    ok = [r for k, r in rows.items() if k != "poisoned"]
+    assert len(ok) == 60 and all(r.decode_ok == "ok" for r in ok)
+
+    # the dedup-join parity contract needs real image sizes (thumbnail
+    # >= 8x8): 64x64 images, mixed containers
+    big = spark.createDataFrame(
+        [
+            (f"big{i:02d}-{fmt}", enc(_smooth_blocks(64, 64, seed=i)))
+            for i in range(8)
+            for fmt, enc in (
+                ("jpg", encode_jpeg),
+                ("prog", encode_jpeg_progressive),
+                ("png", encode_png),
+            )
+        ],
+        ["image_id", "bytes"],
+    )
+    joined = (
+        thumbnail_phash(big)
+        .select("image_id", F.col("phash").alias("thumb_phash"))
+        .join(
+            decode_and_validate(big)
+            .select("image_id", F.col("phash").alias("full_phash"))
+            .hint("shuffle_hash"),
+            "image_id",
+        )
+        .select(
+            (
+                64 - F.bit_count(F.col("full_phash").bitwiseXOR(F.col("thumb_phash")))
+            ).alias("agree")
+        )
+        .collect()
+    )
+    assert len(joined) == 24
+    assert min(r.agree for r in joined) >= 62
