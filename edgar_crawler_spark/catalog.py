@@ -1816,6 +1816,97 @@ def q_image_stats(spark, sf):
     )
 
 
+def q_image_exif_metadata(spark, sf):
+    """EXIF extraction to typed columns (operators/multimodal.py:
+    extract_image_metadata): camera make/model/orientation/capture
+    time + GPS coordinates — the has_gps flag is the image corpus's
+    PII gate (text analog: text_scrub_pii; remediation twin:
+    image_scrub_metadata). The query first TAGS the fixture's JPEG
+    rows with EXIF whose every field is a pure function of the row
+    index (functions/metadata.py:build_exif — real TIFF IFDs, GPS
+    rationals), then extracts. ORACLE-CHECKED end-to-end: the DuckDB
+    twin regenerates the identical expected values from range(), so
+    build→parse round-trips through real JPEG APP1 segments are
+    value-verified cross-engine."""
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import extract_image_metadata
+
+    src = payload_df(spark, 1000).select("image_id", "fmt", "bytes")
+
+    def tag(batches):
+        from edgar_crawler_spark.functions.metadata import (
+            add_jpeg_app1_exif,
+            build_exif,
+        )
+
+        for pdf in batches:
+            out = pdf.copy()
+            tagged = []
+            for image_id, fmt, data in zip(pdf["image_id"], pdf["fmt"], pdf["bytes"]):
+                data = bytes(data)
+                if fmt == "jpeg":
+                    i = int(image_id[-6:])
+                    gps = None
+                    if i % 2 == 0:
+                        lat = (i % 89) + 0.5
+                        lon = (i % 179) + 0.25
+                        gps = (
+                            lat if i % 4 == 0 else -lat,
+                            lon if i % 8 < 4 else -lon,
+                        )
+                    data = add_jpeg_app1_exif(
+                        data,
+                        build_exif(
+                            make=f"maker{i % 5}",
+                            model=f"model{i % 7}",
+                            orientation=1 + i % 8,
+                            datetime=f"2022:{1 + i % 12:02d}:{1 + i % 28:02d} 10:30:00",
+                            gps=gps,
+                        ),
+                    )
+                tagged.append(data)
+            out["bytes"] = tagged
+            yield out
+
+    return (
+        extract_image_metadata(src.mapInPandas(tag, src.schema))
+        .filter(F.col("fmt") == "jpeg")
+        .select(
+            "image_id",
+            "exif_make",
+            "exif_model",
+            "exif_orientation",
+            "exif_datetime",
+            F.round("gps_lat", 6).alias("gps_lat"),
+            F.round("gps_lon", 6).alias("gps_lon"),
+            "has_gps",
+        )
+    )
+
+
+SQL_IMAGE_EXIF = """
+WITH gen AS (
+  SELECT i, printf('%010d-22-%06d', 100000 + i % 997, i) AS image_id
+  FROM range(0, 1000) t(i)
+  WHERE i % 21 = 0
+)
+SELECT image_id,
+       'maker' || (i % 5) AS exif_make,
+       'model' || (i % 7) AS exif_model,
+       CAST(1 + i % 8 AS INT) AS exif_orientation,
+       printf('2022:%02d:%02d 10:30:00', 1 + i % 12, 1 + i % 28) AS exif_datetime,
+       CASE WHEN i % 2 = 0 THEN
+         ROUND(CASE WHEN i % 4 = 0 THEN (i % 89) + 0.5
+                    ELSE -((i % 89) + 0.5) END, 6) END AS gps_lat,
+       CASE WHEN i % 2 = 0 THEN
+         ROUND(CASE WHEN i % 8 < 4 THEN (i % 179) + 0.25
+                    ELSE -((i % 179) + 0.25) END, 6) END AS gps_lon,
+       (i % 2 = 0) AS has_gps
+FROM gen
+ORDER BY image_id
+"""
+
+
 def q_image_thumb_phash(spark, sf):
     """Perceptual hash from the 1/8-scale DC thumbnail vs the full
     decode (operators/multimodal.py:thumbnail_phash): JPEG rows skip
@@ -2580,6 +2671,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "video_frame_near_dup": (q_video_frame_near_dup, None),
     "image_stats": (q_image_stats, None),
     "image_thumb_phash": (q_image_thumb_phash, None),
+    "image_exif_metadata": (q_image_exif_metadata, SQL_IMAGE_EXIF),
     "image_transcode": (q_image_transcode, None),
     "image_scrub_metadata": (q_image_scrub_metadata, None),
     "image_caption_gates": (q_image_caption_gates, SQL_IMAGE_GATES),

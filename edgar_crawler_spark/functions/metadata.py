@@ -193,6 +193,211 @@ def add_gif_comment(data: bytes, text: str) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# EXIF (TIFF 6.0 structure inside the JPEG APP1 "Exif\0\0" payload)
+
+_TAG_MAKE = 0x010F
+_TAG_MODEL = 0x0110
+_TAG_ORIENTATION = 0x0112
+_TAG_DATETIME = 0x0132
+_TAG_GPS_IFD = 0x8825
+_GPS_LAT_REF, _GPS_LAT = 0x0001, 0x0002
+_GPS_LON_REF, _GPS_LON = 0x0003, 0x0004
+
+
+def build_exif(
+    make: str | None = None,
+    model: str | None = None,
+    orientation: int | None = None,
+    datetime: str | None = None,
+    gps: tuple[float, float] | None = None,
+) -> bytes:
+    """Minimal valid little-endian TIFF payload carrying the common
+    identifying tags (wrap with :func:`add_jpeg_app1_exif` to tag a
+    JPEG). ``gps`` is (lat, lon) in signed decimal degrees, stored the
+    standard way: ref chars + 3 RATIONALs (deg, min, sec)."""
+
+    def _dms(v: float) -> list[tuple[int, int]]:
+        v = abs(v)
+        d = int(v)
+        m = int((v - d) * 60)
+        s = round(((v - d) * 60 - m) * 60 * 10_000)
+        return [(d, 1), (m, 1), (s, 10_000)]
+
+    def _ifd(entries: list[tuple[int, int, int, bytes]], base: int) -> bytes:
+        """entries: (tag, type, count, value_bytes). Values over 4 bytes
+        go to a data area after the entry table; ``base`` is this IFD's
+        absolute offset in the TIFF."""
+        data_at = base + 2 + 12 * len(entries) + 4
+        table = struct.pack("<H", len(entries))
+        tail = b""
+        for tag, typ, count, val in sorted(entries):
+            if len(val) <= 4:
+                table += struct.pack("<HHI", tag, typ, count) + val.ljust(4, b"\x00")
+            else:
+                table += struct.pack("<HHII", tag, typ, count, data_at + len(tail))
+                tail += val
+        return table + struct.pack("<I", 0) + tail
+
+    def _ascii(s: str) -> bytes:
+        return s.encode("ascii") + b"\x00"
+
+    def _rats(pairs: list[tuple[int, int]]) -> bytes:
+        return b"".join(struct.pack("<II", n, d) for n, d in pairs)
+
+    ifd0: list[tuple[int, int, int, bytes]] = []
+    if make is not None:
+        ifd0.append((_TAG_MAKE, 2, len(make) + 1, _ascii(make)))
+    if model is not None:
+        ifd0.append((_TAG_MODEL, 2, len(model) + 1, _ascii(model)))
+    if orientation is not None:
+        ifd0.append((_TAG_ORIENTATION, 3, 1, struct.pack("<H", orientation)))
+    if datetime is not None:
+        ifd0.append((_TAG_DATETIME, 2, len(datetime) + 1, _ascii(datetime)))
+
+    gps_entries: list[tuple[int, int, int, bytes]] = []
+    if gps is not None:
+        lat, lon = gps
+        gps_entries = [
+            (_GPS_LAT_REF, 2, 2, _ascii("N" if lat >= 0 else "S")),
+            (_GPS_LAT, 5, 3, _rats(_dms(lat))),
+            (_GPS_LON_REF, 2, 2, _ascii("E" if lon >= 0 else "W")),
+            (_GPS_LON, 5, 3, _rats(_dms(lon))),
+        ]
+        # GPS IFD pointer needs IFD0's final size; entry values <= 4
+        # bytes always, so IFD0's size is known once its entry count is
+        placeholder = struct.pack("<I", 0)
+        ifd0.append((_TAG_GPS_IFD, 4, 1, placeholder))
+
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    body = _ifd(ifd0, 8)
+    if gps is not None:
+        gps_at = 8 + len(body)
+        # patch the GPS pointer now that IFD0's extent is known
+        body = _ifd(
+            [e if e[0] != _TAG_GPS_IFD else (_TAG_GPS_IFD, 4, 1, struct.pack("<I", gps_at))
+             for e in ifd0],
+            8,
+        )
+        assert 8 + len(body) == gps_at
+        body += _ifd(gps_entries, gps_at)
+    return header + body
+
+
+def parse_exif(payload: bytes) -> dict:
+    """TIFF/EXIF payload -> {make, model, orientation, datetime,
+    gps_lat, gps_lon} (absent keys = tag not present). Handles both
+    byte orders; raises ValueError on a malformed header and bounds-
+    checks everything else (truncated IFDs yield partial results, not
+    exceptions — crawled EXIF is routinely cut short)."""
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    e = "<" if payload[:2] == b"II" else ">"
+    magic, ifd0 = struct.unpack(e + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    out: dict = {}
+
+    def _read_entries(at: int) -> list[tuple[int, int, int, bytes]]:
+        if at + 2 > len(payload):
+            return []
+        (n,) = struct.unpack(e + "H", payload[at : at + 2])
+        entries = []
+        for i in range(n):
+            p = at + 2 + 12 * i
+            if p + 12 > len(payload):
+                break
+            tag, typ, count = struct.unpack(e + "HHI", payload[p : p + 8])
+            entries.append((tag, typ, count, payload[p + 8 : p + 12]))
+        return entries
+
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+    def _value(typ: int, count: int, raw: bytes):
+        nbytes = sizes.get(typ, 1) * count
+        if nbytes > 4:
+            (off,) = struct.unpack(e + "I", raw)
+            buf = payload[off : off + nbytes]
+            if len(buf) < nbytes:
+                return None
+        else:
+            buf = raw[:nbytes]
+        if typ == 2:  # ASCII
+            return buf.split(b"\x00")[0].decode("ascii", "replace")
+        if typ == 3:
+            return struct.unpack(e + f"{count}H", buf)
+        if typ == 4:
+            return struct.unpack(e + f"{count}I", buf)
+        if typ == 5:
+            vals = struct.unpack(e + f"{2 * count}I", buf)
+            return [(vals[2 * i], vals[2 * i + 1]) for i in range(count)]
+        return buf
+
+    gps_at = None
+    for tag, typ, count, raw in _read_entries(ifd0):
+        v = _value(typ, count, raw)
+        if v is None:
+            continue
+        if tag == _TAG_MAKE:
+            out["make"] = v
+        elif tag == _TAG_MODEL:
+            out["model"] = v
+        elif tag == _TAG_ORIENTATION:
+            out["orientation"] = int(v[0])
+        elif tag == _TAG_DATETIME:
+            out["datetime"] = v
+        elif tag == _TAG_GPS_IFD:
+            gps_at = int(v[0])
+
+    if gps_at is not None:
+        gps: dict = {}
+        for tag, typ, count, raw in _read_entries(gps_at):
+            v = _value(typ, count, raw)
+            if v is not None:
+                gps[tag] = v
+
+        def _decimal(rats, ref, neg_ref):
+            try:
+                d = sum(
+                    (n / den) / f for (n, den), f in zip(rats, (1, 60, 3600)) if den
+                )
+            except TypeError:
+                return None
+            return -d if ref == neg_ref else d
+
+        if _GPS_LAT in gps:
+            v = _decimal(gps[_GPS_LAT], gps.get(_GPS_LAT_REF, "N"), "S")
+            if v is not None:
+                out["gps_lat"] = v
+        if _GPS_LON in gps:
+            v = _decimal(gps[_GPS_LON], gps.get(_GPS_LON_REF, "E"), "W")
+            if v is not None:
+                out["gps_lon"] = v
+    return out
+
+
+def extract_jpeg_exif(data: bytes) -> dict | None:
+    """Walk the JPEG header region for an APP1 EXIF segment; None when
+    the stream carries no EXIF (the common case after a scrub)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xDA:
+            return None
+        if marker in _JPEG_STANDALONE or marker == 0xD9:
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return parse_exif(data[pos + 10 : pos + 2 + length])
+        pos += 2 + length
+    return None
+
+
+# --------------------------------------------------------------------------
 # Dispatch
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -330,6 +331,75 @@ def scrub_image_metadata(
             out = pdf[keep].copy()
             for k, v in rows.items():
                 out[k] = pd.Series(v, dtype=object)
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+EXIF_SCHEMA_FIELDS = [
+    StructField("exif_make", StringType()),
+    StructField("exif_model", StringType()),
+    StructField("exif_orientation", IntegerType()),
+    StructField("exif_datetime", StringType()),
+    StructField("gps_lat", DoubleType()),
+    StructField("gps_lon", DoubleType()),
+    StructField("has_gps", BooleanType()),
+    StructField("exif_ok", StringType()),  # ok | none | <error class>
+]
+
+
+def extract_image_metadata(
+    df: DataFrame, bytes_col: str = "bytes", num_partitions: int | None = None
+) -> DataFrame:
+    """EXIF extraction to typed columns (functions/metadata.py:
+    extract_jpeg_exif): camera make/model, orientation, capture time,
+    and — the PII that matters in a crawled image corpus — GPS
+    coordinates, surfaced as ``has_gps`` so a privacy gate can drop or
+    route rows BEFORE training (the image analog of text.scrub_pii;
+    scrub_image_metadata is the remediation twin). Header-region walk
+    only — the entropy data is never decoded, so this is cheap enough
+    to run on every crawled image. Non-JPEG containers and EXIF-less
+    JPEGs report ``exif_ok='none'`` with null fields; malformed EXIF is
+    recorded per row, never thrown."""
+    passthrough = [
+        f for f in df.schema.fields if f.name not in {x.name for x in EXIF_SCHEMA_FIELDS}
+    ]
+    out_schema = StructType(passthrough + EXIF_SCHEMA_FIELDS)
+    keep = [f.name for f in passthrough]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(num_partitions)
+
+    cols = [f.name for f in EXIF_SCHEMA_FIELDS]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from edgar_crawler_spark.functions.metadata import extract_jpeg_exif
+
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for data in pdf[bytes_col]:
+                vals = dict.fromkeys(cols)
+                try:
+                    data = bytes(data)
+                    meta = extract_jpeg_exif(data) if data[:2] == b"\xff\xd8" else None
+                    if meta is None:
+                        vals["exif_ok"] = "none"
+                    else:
+                        vals["exif_make"] = meta.get("make")
+                        vals["exif_model"] = meta.get("model")
+                        vals["exif_orientation"] = meta.get("orientation")
+                        vals["exif_datetime"] = meta.get("datetime")
+                        vals["gps_lat"] = meta.get("gps_lat")
+                        vals["gps_lon"] = meta.get("gps_lon")
+                        vals["has_gps"] = "gps_lat" in meta or "gps_lon" in meta
+                        vals["exif_ok"] = "ok"
+                except Exception as e:
+                    vals["exif_ok"] = type(e).__name__
+                for c in cols:
+                    rows[c].append(vals[c])
+            out = pdf[keep].copy()
+            for c in cols:
+                out[c] = rows[c]
             yield out
 
     return df.mapInPandas(run, out_schema)
