@@ -255,6 +255,28 @@ def decode_thumbnail(data: bytes) -> np.ndarray:
     return box_downsample8(decode_image(data))
 
 
+def apply_exif_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Stored pixels -> upright display per TIFF/EXIF orientation 1-8
+    (the standard exif-transpose mapping). Unknown values pass through.
+    Cheap on thumbnails — which is where a dedup pass should apply it:
+    the same photo stored rotated would otherwise hash apart."""
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1]
+    if orientation == 5:
+        return px.swapaxes(0, 1)
+    if orientation == 6:
+        return np.rot90(px, -1)
+    if orientation == 7:
+        return px[::-1, ::-1].swapaxes(0, 1)
+    if orientation == 8:
+        return np.rot90(px, 1)
+    return px
+
+
 def sniff_format(data: bytes) -> str | None:
     """Container label from magic bytes (None = unrecognized)."""
     if data[:8] == _PNG_SIG:

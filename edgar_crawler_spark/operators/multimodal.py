@@ -104,7 +104,10 @@ THUMB_SCHEMA_FIELDS = [
 
 
 def thumbnail_phash(
-    df: DataFrame, bytes_col: str = "bytes", num_partitions: int | None = None
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    num_partitions: int | None = None,
+    normalize_orientation: bool = False,
 ) -> DataFrame:
     """Perceptual hash from the 1/8-scale DC thumbnail instead of the
     full decode (functions/imaging.py:decode_thumbnail): JPEG streams
@@ -114,6 +117,12 @@ def thumbnail_phash(
     full decode whenever dims are multiples of 8 (the thumbnail IS the
     8x8-block-mean image aHash starts from) and agrees to within a few
     bits otherwise, so thumbnail hashes join against full-decode hashes.
+
+    ``normalize_orientation=True`` additionally reads the JPEG EXIF
+    orientation tag (header walk, no extra decode) and applies the
+    exif-transpose to the THUMBNAIL before hashing — so the same photo
+    stored rotated (the phone-camera default) dedups against its
+    upright copies, at thumbnail-sized transform cost.
 
     Output: passthrough columns + (thumb_w, thumb_h, phash, decode_ok);
     failures recorded per row, never thrown. Same explicit-repartition
@@ -129,13 +138,25 @@ def thumbnail_phash(
     df = df.repartition(num_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from edgar_crawler_spark.functions.imaging import average_hash, decode_thumbnail
+        from edgar_crawler_spark.functions.imaging import (
+            apply_exif_orientation,
+            average_hash,
+            decode_thumbnail,
+        )
+        from edgar_crawler_spark.functions.metadata import extract_jpeg_exif
 
         for pdf in batches:
             rows = {"thumb_w": [], "thumb_h": [], "phash": [], "decode_ok": []}
             for data in pdf[bytes_col]:
                 try:
-                    t = decode_thumbnail(bytes(data))
+                    data = bytes(data)
+                    t = decode_thumbnail(data)
+                    if normalize_orientation and data[:2] == b"\xff\xd8":
+                        try:
+                            meta = extract_jpeg_exif(data) or {}
+                        except ValueError:
+                            meta = {}
+                        t = apply_exif_orientation(t, meta.get("orientation", 1))
                     rows["thumb_w"].append(t.shape[1])
                     rows["thumb_h"].append(t.shape[0])
                     rows["phash"].append(average_hash(t))

@@ -138,6 +138,59 @@ def test_small_thumbnail_hash_not_degenerate():
     assert ha != hb
 
 
+_INVERSE = {
+    1: lambda a: a,
+    2: lambda a: a[:, ::-1],
+    3: lambda a: a[::-1, ::-1],
+    4: lambda a: a[::-1],
+    5: lambda a: a.swapaxes(0, 1),
+    6: lambda a: np.rot90(a, 1),
+    7: lambda a: a[::-1, ::-1].swapaxes(0, 1),
+    8: lambda a: np.rot90(a, -1),
+}
+
+
+@pytest.mark.parametrize("k", list(range(1, 9)))
+def test_apply_exif_orientation_restores_upright(k):
+    from edgar_crawler_spark.functions.imaging import apply_exif_orientation
+
+    upright = np.random.default_rng(k).integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    stored = _INVERSE[k](upright)
+    assert np.array_equal(apply_exif_orientation(stored, k), upright)
+
+
+def test_orientation_normalized_hash_dedups_rotated_copies(spark):
+    """The same photo stored rotated (EXIF orientation 2-8) must hash
+    with the upright copy under normalize_orientation=True — and must
+    NOT without it (that's the recall the flag buys)."""
+    from edgar_crawler_spark.functions.metadata import add_jpeg_app1_exif, build_exif
+    from edgar_crawler_spark.operators.multimodal import thumbnail_phash
+
+    upright = _smooth_blocks(64, 48, seed=77)
+    rows = [("k1", encode_jpeg(upright))]
+    for k in range(2, 9):
+        stored = np.ascontiguousarray(_INVERSE[k](upright))
+        rows.append(
+            (f"k{k}", add_jpeg_app1_exif(encode_jpeg(stored), build_exif(orientation=k)))
+        )
+    df = spark.createDataFrame(rows, ["image_id", "bytes"])
+
+    def hashes(normalize):
+        return {
+            r.image_id: r.phash
+            for r in thumbnail_phash(df, normalize_orientation=normalize).collect()
+        }
+
+    norm, raw = hashes(True), hashes(False)
+    for k in range(2, 9):
+        d_norm = bin((norm["k1"] ^ norm[f"k{k}"]) & ((1 << 64) - 1)).count("1")
+        assert d_norm <= 3, (k, d_norm)
+    # rotations (not mere flips) scramble the un-normalized hash
+    for k in (5, 6, 8):
+        d_raw = bin((raw["k1"] ^ raw[f"k{k}"]) & ((1 << 64) - 1)).count("1")
+        assert d_raw > 10, (k, d_raw)
+
+
 def test_thumbnail_phash_operator(spark):
     """Operator end-to-end over the payload fixture + a poisoned row:
     per-row error recording, and fast-path hashes agree with full-path
