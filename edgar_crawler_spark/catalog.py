@@ -1812,7 +1812,13 @@ def q_image_stats(spark, sf):
     from edgar_crawler_spark.operators.multimodal import image_stats
 
     return image_stats(payload_df(spark, 128)).select(
-        "image_id", "brightness", "contrast", "colorfulness", "gray_entropy", "stats_ok"
+        "image_id",
+        "brightness",
+        "contrast",
+        "colorfulness",
+        "gray_entropy",
+        "sharpness",
+        "stats_ok",
     )
 
 

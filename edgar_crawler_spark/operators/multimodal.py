@@ -629,6 +629,7 @@ IMAGE_STATS_FIELDS = [
     StructField("contrast", DoubleType()),  # luma std / 255
     StructField("colorfulness", DoubleType()),  # Hasler-Süsstrunk metric
     StructField("gray_entropy", DoubleType()),  # bits over 64 luma bins
+    StructField("sharpness", DoubleType()),  # Laplacian variance / 255^2
     StructField("stats_ok", StringType()),  # ok | <error class>
 ]
 
@@ -638,9 +639,11 @@ def image_stats(
 ) -> DataFrame:
     """Per-image quality signals for training-data gating (the
     LAION-style pre-filters that need no model): mean brightness, RMS
-    contrast, Hasler–Süsstrunk colorfulness, and gray-level entropy —
-    near-black/blank, flat, or synthetic-flood images gate out on
-    these before any expensive scoring.  REAL kernel over the
+    contrast, Hasler–Süsstrunk colorfulness, gray-level entropy, and
+    Laplacian-variance sharpness (the standard model-free focus
+    measure: blurred/out-of-focus images score near zero) —
+    near-black/blank, flat, blurred, or synthetic-flood images gate
+    out on these before any expensive scoring.  REAL kernel over the
     self-describing binary column (functions/imaging.py decode);
     per-row error recording, never throws; input columns pass through;
     explicit repartition pins parallelism (AQE coalescing exemption)."""
@@ -671,6 +674,19 @@ def image_stats(
                         (luma.ravel() // 4).astype(np.int64).clip(0, 63), minlength=64
                     ).astype(np.float64)
                     p = hist[hist > 0] / hist.sum()
+                    # 4-neighbour Laplacian on the luma interior (images
+                    # under 3px on a side have no interior: sharpness 0)
+                    if luma.shape[0] >= 3 and luma.shape[1] >= 3:
+                        lap = (
+                            luma[:-2, 1:-1]
+                            + luma[2:, 1:-1]
+                            + luma[1:-1, :-2]
+                            + luma[1:-1, 2:]
+                            - 4.0 * luma[1:-1, 1:-1]
+                        )
+                        sharp = float(lap.var()) / 255.0**2
+                    else:
+                        sharp = 0.0
                     # all values computed BEFORE any append: a mid-row
                     # failure must not leave ragged columns
                     vals = {
@@ -678,6 +694,7 @@ def image_stats(
                         "contrast": round(float(luma.std()) / 255.0, 6),
                         "colorfulness": round(cf / 255.0, 6),
                         "gray_entropy": round(float((p * np.log2(p)).sum()) * -1 + 0.0, 6),
+                        "sharpness": round(sharp, 6),
                         "stats_ok": "ok",
                     }
                 except Exception as e:

@@ -79,6 +79,47 @@ def test_image_stats_analytic_values(spark):
     # a pure flood has only the mean term: 0.3·hypot(200,100)/255 ≈ 0.263
     assert abs(out["red"].colorfulness - 0.263067) < 1e-6
     assert out["bad"].stats_ok != "ok" and out["bad"].brightness is None
+    # sharpness: flat/flood → 0; checkerboard's Laplacian swings ±8·255
+    assert f.sharpness == 0.0 and out["red"].sharpness == 0.0
+    assert c.sharpness > 1.0
+
+
+def test_image_stats_sharpness_ranks_blur(spark):
+    """Laplacian variance must rank a box-blurred copy below its sharp
+    original — the gate signal — and be invariant to brightness."""
+    import pandas as pd
+
+    from edgar_crawler_spark.functions.imaging import encode_png
+    from edgar_crawler_spark.operators.multimodal import image_stats
+
+    rng = np.random.default_rng(1)
+    sharp = rng.integers(0, 256, size=(32, 32, 3)).astype(np.float64)
+    k = np.ones((5, 5)) / 25.0
+    blurred = sharp.copy()
+    for c in range(3):
+        s = np.pad(sharp[:, :, c], 2, mode="edge")
+        blurred[:, :, c] = sum(
+            s[i : i + 32, j : j + 32] * k[i, j] for i in range(5) for j in range(5)
+        )
+    brighter = np.clip(sharp + 60, 0, 255)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["sharp", "blurred", "brighter"],
+                "bytes": [
+                    encode_png(sharp.astype(np.uint8)),
+                    encode_png(blurred.astype(np.uint8)),
+                    encode_png(brighter.astype(np.uint8)),
+                ],
+            }
+        )
+    )
+    out = {r.image_id: r for r in image_stats(df).collect()}
+    assert out["blurred"].sharpness < out["sharp"].sharpness / 10
+    # brightness offset leaves the Laplacian variance within clip error
+    assert abs(out["brighter"].sharpness - out["sharp"].sharpness) < out[
+        "sharp"
+    ].sharpness * 0.35
 
 
 def test_transcode_images_semantics(spark):
