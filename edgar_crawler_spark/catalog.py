@@ -1951,6 +1951,68 @@ def q_image_thumb_phash(spark, sf):
     )
 
 
+def q_image_thumb_near_dup(spark, sf):
+    """The cheap image-dedup pipeline end-to-end: DC-thumbnail
+    perceptual hashes (operators/multimodal.py:thumbnail_phash,
+    orientation-normalized) over originals UNION their JPEG-transcoded
+    copies, then banded-Hamming pairing (operators/dedup.py:
+    hamming_near_dup_pairs, pigeonhole recall) — each transcoded copy
+    must pair with its original WITHOUT any full decode on the hash
+    side. The corpus is 200 deterministic 64x64 smooth scenes (NOT the
+    16-32px payload fixture: a 2x2-4x4 thumbnail hash has too little
+    entropy to pair on — real dedup corpora are >=64px, where the
+    thumbnail carries the full 64 hash bits). Rows-only;
+    engineered-recall assertions live in tests/test_thumbnail.py."""
+    from edgar_crawler_spark.operators.dedup import hamming_near_dup_pairs
+    from edgar_crawler_spark.operators.multimodal import thumbnail_phash
+
+    def gen(batches):
+        import numpy as np
+
+        from edgar_crawler_spark.functions.imaging import encode_png
+
+        ys = np.linspace(0.0, 1.0, 64)[:, None]
+        xs = np.linspace(0.0, 1.0, 64)[None, :]
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"image_id": [], "bytes": []}
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(9000 + i)
+                fy, fx, ph = (rng.uniform(0.5, 3.0, size=3) for _ in range(3))
+                px = np.empty((64, 64, 3))
+                for c in range(3):
+                    px[:, :, c] = 128 + 110 * np.sin(
+                        2 * np.pi * (fy[c] * ys + fx[c] * xs + ph[c])
+                    )
+                out["image_id"].append(f"scene{i:05d}")
+                out["bytes"].append(encode_png(np.clip(px, 0, 255).astype(np.uint8)))
+            yield pd.DataFrame(out)
+
+    src = spark.range(200).repartition(8).mapInPandas(gen, "image_id string, bytes binary")
+
+    def reencode(batches):
+        from edgar_crawler_spark.functions.imaging import decode_image
+        from edgar_crawler_spark.functions.jpegcodec import encode_jpeg
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["image_id"] = [i + "#jpg" for i in pdf["image_id"]]
+            out["bytes"] = [
+                encode_jpeg(decode_image(bytes(b)), quality=98) for b in pdf["bytes"]
+            ]
+            yield out
+
+    both = src.unionByName(src.mapInPandas(reencode, src.schema))
+    hashed = thumbnail_phash(both, normalize_orientation=True).filter(
+        F.col("decode_ok") == "ok"
+    )
+    return hamming_near_dup_pairs(
+        hashed, "image_id", "phash", bits=64, max_hamming=4
+    ).orderBy("image_a", "image_b")
+
+
 def q_image_transcode(spark, sf):
     """Storage transcode pass (operators/multimodal.py:transcode_images):
     decode every payload container and re-encode as baseline JPEG
@@ -2678,6 +2740,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "image_stats": (q_image_stats, None),
     "image_thumb_phash": (q_image_thumb_phash, None),
     "image_exif_metadata": (q_image_exif_metadata, SQL_IMAGE_EXIF),
+    "image_thumb_near_dup": (q_image_thumb_near_dup, None),
     "image_transcode": (q_image_transcode, None),
     "image_scrub_metadata": (q_image_scrub_metadata, None),
     "image_caption_gates": (q_image_caption_gates, SQL_IMAGE_GATES),

@@ -191,6 +191,18 @@ def test_orientation_normalized_hash_dedups_rotated_copies(spark):
         assert d_raw > 10, (k, d_raw)
 
 
+def test_thumb_near_dup_catalog_recall(spark):
+    """The image_thumb_near_dup composite (DC-thumbnail hash → banded
+    Hamming): every JPEG-transcoded copy must pair with its original."""
+    from edgar_crawler_spark.catalog import CATALOG
+
+    rows = CATALOG["image_thumb_near_dup"][0](spark, "").collect()
+    twins = {(r.image_a, r.image_b) for r in rows}
+    hit = sum(1 for a, b in twins if b == a + "#jpg")
+    assert hit == 200
+    assert all(r.hamming <= 1 for r in rows if r.image_b == r.image_a + "#jpg")
+
+
 def test_thumbnail_phash_operator(spark):
     """Operator end-to-end over the payload fixture + a poisoned row:
     per-row error recording, and fast-path hashes agree with full-path
