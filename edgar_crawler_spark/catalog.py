@@ -2013,6 +2013,106 @@ def q_image_thumb_near_dup(spark, sf):
     ).orderBy("image_a", "image_b")
 
 
+def q_pipeline_prep_corpus_v5(spark, sf):
+    """The IMAGE-axis corpus-prep capstone, chaining the round-4 image
+    operators end-to-end over the payload fixture + engineered
+    JPEG-transcoded twins (stems i%15==1, chosen to pass the size
+    gates): LAION-style caption/metadata gates → EXIF GPS privacy gate
+    (originals tagged deterministically; has_gps rows drop) →
+    model-free quality gates (entropy, sharpness) → perceptual
+    hash dedup (pairs → components → min-id representative, twins
+    collapse to their originals) → aspect-bucketed batch packing.
+    Rows-only (decode kernels throughout); stage semantics are each
+    individually verified (oracle or pytest) and the composite's twin
+    collapse + gate counts are pinned in tests/test_thumbnail.py."""
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.dedup import image_dedup_representatives
+    from edgar_crawler_spark.operators.multimodal import (
+        decode_and_validate,
+        extract_image_metadata,
+        image_caption_gates,
+        image_stats,
+        pack_image_batches,
+    )
+
+    base = payload_df(spark, 600)
+
+    def twins(batches):
+        from edgar_crawler_spark.functions.imaging import decode_image
+        from edgar_crawler_spark.functions.jpegcodec import encode_jpeg
+
+        for pdf in batches:
+            keep = [
+                k
+                for k, img in enumerate(pdf["image_id"])
+                if int(img[-6:]) % 15 == 1
+            ]
+            out = pdf.iloc[keep].copy()
+            out["image_id"] = [i + "#jpg" for i in out["image_id"]]
+            out["fmt"] = "jpeg"
+            out["bytes"] = [
+                encode_jpeg(decode_image(bytes(b)), quality=98) for b in out["bytes"]
+            ]
+            yield out
+
+    src = base.unionByName(base.mapInPandas(twins, base.schema))
+
+    def tag_gps(batches):
+        from edgar_crawler_spark.functions.metadata import (
+            add_jpeg_app1_exif,
+            build_exif,
+        )
+
+        for pdf in batches:
+            out = pdf.copy()
+            tagged = []
+            for image_id, fmt, data in zip(pdf["image_id"], pdf["fmt"], pdf["bytes"]):
+                data = bytes(data)
+                if fmt == "jpeg" and not image_id.endswith("#jpg"):
+                    i = int(image_id[-6:])
+                    if i % 2 == 0:
+                        data = add_jpeg_app1_exif(
+                            data,
+                            build_exif(gps=((i % 89) + 0.5, (i % 179) + 0.25)),
+                        )
+                tagged.append(data)
+            out["bytes"] = tagged
+            yield out
+
+    src = src.mapInPandas(tag_gps, src.schema)
+
+    gate_caption = (
+        image_caption_gates(src).filter(F.col("passes") == 1).select("image_id")
+    )
+    gate_privacy = (
+        extract_image_metadata(src)
+        .filter(~F.coalesce(F.col("has_gps"), F.lit(False)))
+        .select("image_id")
+    )
+    gate_quality = (
+        image_stats(src)
+        .filter(
+            (F.col("stats_ok") == "ok")
+            & (F.col("gray_entropy") >= 1.0)
+            & (F.col("sharpness") > 0.0)
+        )
+        .select("image_id")
+    )
+    kept = (
+        src.join(gate_caption, "image_id", "left_semi")
+        .join(gate_privacy, "image_id", "left_semi")
+        .join(gate_quality, "image_id", "left_semi")
+    )
+    hashed = decode_and_validate(kept.select("image_id", "bytes", "caption"))
+    reps = image_dedup_representatives(hashed, max_hamming=6)
+    survivors = hashed.join(
+        reps.select("image_id"), "image_id", "left_semi"
+    )
+    return pack_image_batches(
+        survivors, buckets=[(32, 32), (32, 16), (16, 32)], batch_px_budget=8192
+    ).orderBy("image_id")
+
+
 def q_image_transcode(spark, sf):
     """Storage transcode pass (operators/multimodal.py:transcode_images):
     decode every payload container and re-encode as baseline JPEG
@@ -2741,6 +2841,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "image_thumb_phash": (q_image_thumb_phash, None),
     "image_exif_metadata": (q_image_exif_metadata, SQL_IMAGE_EXIF),
     "image_thumb_near_dup": (q_image_thumb_near_dup, None),
+    "pipeline_prep_corpus_v5": (q_pipeline_prep_corpus_v5, None),
     "image_transcode": (q_image_transcode, None),
     "image_scrub_metadata": (q_image_scrub_metadata, None),
     "image_caption_gates": (q_image_caption_gates, SQL_IMAGE_GATES),

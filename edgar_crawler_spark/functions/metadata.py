@@ -193,6 +193,87 @@ def add_gif_comment(data: bytes, text: str) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# WebP (RIFF chunk surgery; VP8X flag maintenance)
+
+_WEBP_META = {b"EXIF": "EXIF", b"XMP ": "XMP"}
+_VP8X_EXIF, _VP8X_XMP = 0x08, 0x04
+
+
+def _riff_rebuild(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    body = bytearray(b"WEBP")
+    for fourcc, payload in chunks:
+        body += fourcc + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + bytes(body)
+
+
+def strip_webp_metadata(data: bytes) -> tuple[bytes, list[str]]:
+    """Drop EXIF/XMP chunks, clearing their VP8X flag bits; when the
+    VP8X header then carries no feature at all and a bare VP8L image
+    remains, the VP8X wrapper itself is dropped (back to the canonical
+    simple-lossless file). ICCP stays — a color profile is rendering
+    behavior, not metadata (same call as PNG's gAMA/sRGB)."""
+    from edgar_crawler_spark.functions.webpcodec import walk_webp_chunks
+
+    removed: list[str] = []
+    kept: list[tuple[bytes, bytes]] = []
+    for fourcc, at, ln in walk_webp_chunks(data):
+        if fourcc in _WEBP_META:
+            removed.append(_WEBP_META[fourcc])
+        else:
+            kept.append((fourcc, data[at : at + ln]))
+    if not removed:
+        return data, []
+    if kept and kept[0][0] == b"VP8X":
+        flags = bytearray(kept[0][1])
+        flags[0] &= ~(_VP8X_EXIF | _VP8X_XMP)
+        if flags[0] == 0 and len(kept) == 2 and kept[1][0] == b"VP8L":
+            kept = kept[1:]
+        else:
+            kept[0] = (b"VP8X", bytes(flags))
+    return _riff_rebuild(kept), removed
+
+
+def add_webp_exif(data: bytes, payload: bytes) -> bytes:
+    """Wrap a simple lossless WebP in a VP8X container carrying an
+    EXIF chunk (flags + canvas dims per the extended-format spec)."""
+    from edgar_crawler_spark.functions.webpcodec import walk_webp_chunks
+
+    chunks = [(f, data[at : at + ln]) for f, at, ln in walk_webp_chunks(data)]
+    by4 = dict(chunks)
+    if b"VP8X" in by4:
+        flags = bytearray(by4[b"VP8X"])
+        flags[0] |= _VP8X_EXIF
+        out = [(b"VP8X", bytes(flags))] + [c for c in chunks if c[0] != b"VP8X"]
+    else:
+        if b"VP8L" not in by4:
+            raise ValueError("add_webp_exif: need a VP8L image chunk")
+        v = int.from_bytes(by4[b"VP8L"][1:5], "little")
+        w, h = (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1
+        vp8x = bytes([_VP8X_EXIF, 0, 0, 0]) + struct.pack("<I", w - 1)[:3] + struct.pack(
+            "<I", h - 1
+        )[:3]
+        out = [(b"VP8X", vp8x)] + chunks
+    return _riff_rebuild(out + [(b"EXIF", payload)])
+
+
+def extract_webp_exif(data: bytes) -> dict | None:
+    """EXIF chunk of an extended WebP -> parsed tags (None when the
+    file carries no EXIF). Accepts both raw-TIFF payloads (the spec)
+    and the JPEG-style 'Exif\\0\\0'-prefixed form some writers emit."""
+    from edgar_crawler_spark.functions.webpcodec import walk_webp_chunks
+
+    for fourcc, at, ln in walk_webp_chunks(data):
+        if fourcc == b"EXIF":
+            payload = data[at : at + ln]
+            if payload[:6] == b"Exif\x00\x00":
+                payload = payload[6:]
+            return parse_exif(payload)
+    return None
+
+
+# --------------------------------------------------------------------------
 # EXIF (TIFF 6.0 structure inside the JPEG APP1 "Exif\0\0" payload)
 
 _TAG_MAKE = 0x010F
@@ -411,6 +492,8 @@ def strip_image_metadata(data: bytes) -> tuple[bytes, list[str]]:
         return strip_png_metadata(data)
     if data[:6] in _GIF_SIGS:
         return strip_gif_metadata(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return strip_webp_metadata(data)
     if data[:2] == b"BM" or data[:4] == b"QNT1":
         return data, []
     raise ValueError("unknown image container")

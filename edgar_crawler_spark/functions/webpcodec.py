@@ -569,20 +569,35 @@ def _inv_color_indexing(img: np.ndarray, palette: np.ndarray, full_w: int) -> np
     return palette[idx]
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """WebP bytes → (h, w, 3) uint8 RGB. Lossless (VP8L) only; lossy
-    VP8 and VP8X-extended files raise NotImplementedError naming the
-    feature (they need libwebp/libvpx)."""
+def walk_webp_chunks(data: bytes) -> list[tuple[bytes, int, int]]:
+    """RIFF chunk walk: [(fourcc, payload_start, payload_len)].
+    Raises ValueError when the container signature is wrong."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP/RIFF container")
-    fourcc = data[12:16]
-    if fourcc == b"VP8 ":
-        raise NotImplementedError("lossy VP8 WebP requires libwebp (absent here)")
-    if fourcc == b"VP8X":
-        raise NotImplementedError("extended VP8X WebP requires libwebp (absent here)")
-    if fourcc != b"VP8L":
-        raise ValueError(f"unknown WebP chunk {fourcc!r}")
-    payload = data[20 : 20 + struct.unpack("<I", data[16:20])[0]]
+    chunks = []
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        chunks.append((fourcc, pos + 8, ln))
+        pos += 8 + ln + (ln & 1)  # chunks are even-padded
+    return chunks
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WebP bytes → (h, w, 3) uint8 RGB. Lossless (VP8L) only,
+    including inside a VP8X extended container (metadata chunks are
+    skipped); lossy VP8 and animated files raise NotImplementedError
+    naming the feature (they need libwebp/libvpx)."""
+    chunks = {fourcc: (at, ln) for fourcc, at, ln in walk_webp_chunks(data)}
+    if b"ANIM" in chunks or b"ANMF" in chunks:
+        raise NotImplementedError("animated WebP requires libwebp (absent here)")
+    if b"VP8L" not in chunks:
+        if b"VP8 " in chunks:
+            raise NotImplementedError("lossy VP8 WebP requires libwebp (absent here)")
+        raise ValueError(f"no decodable image chunk in {sorted(chunks)!r}")
+    at, ln = chunks[b"VP8L"]
+    payload = data[at : at + ln]
     if not payload or payload[0] != 0x2F:
         raise ValueError("VP8L: bad signature byte")
     br = _BitReader(payload[1:])

@@ -143,7 +143,10 @@ def thumbnail_phash(
             average_hash,
             decode_thumbnail,
         )
-        from edgar_crawler_spark.functions.metadata import extract_jpeg_exif
+        from edgar_crawler_spark.functions.metadata import (
+            extract_jpeg_exif,
+            extract_webp_exif,
+        )
 
         for pdf in batches:
             rows = {"thumb_w": [], "thumb_h": [], "phash": [], "decode_ok": []}
@@ -151,9 +154,14 @@ def thumbnail_phash(
                 try:
                     data = bytes(data)
                     t = decode_thumbnail(data)
-                    if normalize_orientation and data[:2] == b"\xff\xd8":
+                    if normalize_orientation:
                         try:
-                            meta = extract_jpeg_exif(data) or {}
+                            if data[:2] == b"\xff\xd8":
+                                meta = extract_jpeg_exif(data) or {}
+                            elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+                                meta = extract_webp_exif(data) or {}
+                            else:
+                                meta = {}
                         except ValueError:
                             meta = {}
                         t = apply_exif_orientation(t, meta.get("orientation", 1))
@@ -394,7 +402,10 @@ def extract_image_metadata(
     cols = [f.name for f in EXIF_SCHEMA_FIELDS]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from edgar_crawler_spark.functions.metadata import extract_jpeg_exif
+        from edgar_crawler_spark.functions.metadata import (
+            extract_jpeg_exif,
+            extract_webp_exif,
+        )
 
         for pdf in batches:
             rows: dict[str, list] = {c: [] for c in cols}
@@ -402,7 +413,12 @@ def extract_image_metadata(
                 vals = dict.fromkeys(cols)
                 try:
                     data = bytes(data)
-                    meta = extract_jpeg_exif(data) if data[:2] == b"\xff\xd8" else None
+                    if data[:2] == b"\xff\xd8":
+                        meta = extract_jpeg_exif(data)
+                    elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+                        meta = extract_webp_exif(data)
+                    else:
+                        meta = None
                     if meta is None:
                         vals["exif_ok"] = "none"
                     else:

@@ -86,13 +86,45 @@ def test_jpeg_extract_and_scrub_removes():
     assert extract_jpeg_exif(scrubbed) is None
 
 
+def test_webp_exif_roundtrip_and_scrub():
+    """Extended-WebP EXIF: tag → decode still works (chunk walk) →
+    extract parses → scrub restores the simple file byte-identically
+    and clears the VP8X wrapper."""
+    from edgar_crawler_spark.functions.metadata import (
+        add_webp_exif,
+        extract_webp_exif,
+        strip_image_metadata,
+        strip_webp_metadata,
+    )
+    from edgar_crawler_spark.functions.webpcodec import decode_webp, encode_webp
+
+    px = np.random.default_rng(2).integers(0, 256, size=(20, 24, 3), dtype=np.uint8)
+    simple = encode_webp(px)
+    assert extract_webp_exif(simple) is None
+    assert strip_webp_metadata(simple) == (simple, [])
+
+    tagged = add_webp_exif(simple, build_exif(make="cam", orientation=6, gps=(1.5, 2.25)))
+    assert np.array_equal(decode_webp(tagged), px)
+    meta = extract_webp_exif(tagged)
+    assert meta["make"] == "cam" and meta["gps_lat"] == 1.5
+    scrubbed, removed = strip_image_metadata(tagged)
+    assert removed == ["EXIF"] and scrubbed == simple
+    # the 'Exif\0\0'-prefixed payload form some writers emit
+    prefixed = add_webp_exif(simple, b"Exif\x00\x00" + build_exif(model="m2"))
+    assert extract_webp_exif(prefixed) == {"model": "m2"}
+
+
 def test_extract_image_metadata_operator(spark):
     """Mixed corpus: tagged JPEG (with/without GPS), untagged JPEG,
     PNG, poisoned blob — per-row statuses, typed values, has_gps."""
     from edgar_crawler_spark.functions.imaging import encode_png
     from edgar_crawler_spark.operators.multimodal import extract_image_metadata
 
+    from edgar_crawler_spark.functions.metadata import add_webp_exif
+    from edgar_crawler_spark.functions.webpcodec import encode_webp
+
     img = encode_jpeg(np.zeros((16, 16, 3), np.uint8))
+    webp = encode_webp(np.zeros((16, 16, 3), np.uint8))
     rows = [
         ("gps", add_jpeg_app1_exif(img, build_exif(make="cam0", orientation=3, gps=(42.5, -7.25)))),
         ("nogps", add_jpeg_app1_exif(img, build_exif(make="cam1", model="m9"))),
@@ -100,6 +132,8 @@ def test_extract_image_metadata_operator(spark):
         ("png", encode_png(np.zeros((8, 8, 3), np.uint8))),
         ("badexif", add_jpeg_app1_exif(img, b"\x01" * 16)),
         ("poisoned", b"\xff\xd8\xff"),
+        ("webpgps", add_webp_exif(webp, build_exif(model="w1", gps=(3.5, 4.25)))),
+        ("webpplain", webp),
     ]
     out = {
         r.image_id: r
@@ -116,3 +150,6 @@ def test_extract_image_metadata_operator(spark):
     assert out["png"].exif_ok == "none"
     assert out["badexif"].exif_ok == "ValueError"
     assert out["poisoned"].exif_ok == "none"  # header walk finds no APP1
+    assert out["webpgps"].exif_ok == "ok" and out["webpgps"].has_gps
+    assert out["webpgps"].exif_model == "w1" and out["webpgps"].gps_lon == 4.25
+    assert out["webpplain"].exif_ok == "none"

@@ -203,6 +203,23 @@ def test_thumb_near_dup_catalog_recall(spark):
     assert all(r.hamming <= 1 for r in rows if r.image_b == r.image_a + "#jpg")
 
 
+def test_pipeline_prep_corpus_v5(spark):
+    """Image capstone invariants: every engineered JPEG twin collapses
+    into its original (no #jpg id survives, all twin stems do), the
+    GPS-tagged originals are gone, and packing output is complete."""
+    from edgar_crawler_spark.catalog import CATALOG
+
+    rows = CATALOG["pipeline_prep_corpus_v5"][0](spark, "").collect()
+    ids = [r.image_id for r in rows]
+    assert len(ids) == len(set(ids))
+    assert not any(i.endswith("#jpg") for i in ids)
+    stems = [i for i in ids if int(i[-6:]) % 15 == 1]
+    assert len(stems) == 40  # every twin group survives via its original
+    # GPS privacy gate: original JPEGs at even stems were tagged
+    assert not any(int(i[-6:]) % 21 == 0 and int(i[-6:]) % 2 == 0 for i in ids)
+    assert all(r.batch_idx >= 0 and r.target_w * r.target_h <= 8192 for r in rows)
+
+
 def test_thumbnail_phash_operator(spark):
     """Operator end-to-end over the payload fixture + a poisoned row:
     per-row error recording, and fast-path hashes agree with full-path

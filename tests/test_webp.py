@@ -124,8 +124,25 @@ def test_lossy_and_extended_raise_named():
     fake_vp8 = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + b"\x00" * 8
     with pytest.raises(NotImplementedError, match="VP8"):
         decode_webp(fake_vp8)
-    fake_vp8x = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8X" + b"\x00" * 8
-    with pytest.raises(NotImplementedError, match="VP8X"):
+    # a VP8X wrapper is fine when it holds a VP8L image (metadata
+    # chunks are walked past) — but lossy/animated payloads still raise
+    fake_vp8x_lossy = (
+        b"RIFF" + struct.pack("<I", 24) + b"WEBP"
+        + b"VP8X" + struct.pack("<I", 0)
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(fake_vp8x_lossy)
+    fake_anim = (
+        b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+        + b"VP8X" + struct.pack("<I", 0)
+        + b"ANIM" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_webp(fake_anim)
+    # VP8X with no image chunk at all is malformed, not unsupported
+    fake_vp8x = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8X" + struct.pack("<I", 0)
+    with pytest.raises(ValueError):
         decode_webp(fake_vp8x)
     with pytest.raises(ValueError):
         decode_webp(b"RIFF\x00\x00\x00\x00NOPE")
