@@ -328,6 +328,69 @@ def assign(cpus: int) -> dict:
     }
 
 
+def thumb(cpus: int, n: int = 4000) -> dict:
+    """DC-thumbnail hash vs full-decode hash throughput over real-size
+    JPEGs (128x128, half baseline 4:2:0 / half progressive — the
+    corpus-scale dedup decision: what does the hash pass cost?)."""
+    from edgar_crawler_spark.operators.multimodal import (
+        decode_and_validate,
+        thumbnail_phash,
+    )
+
+    spark = get_spark(
+        app_name=f"thumb-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from edgar_crawler_spark.functions.jpegcodec import encode_jpeg
+        from edgar_crawler_spark.functions.jpegprog import encode_jpeg_progressive
+
+        for pdf in batches:
+            out = {"image_id": [], "bytes": []}
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(i)
+                base = rng.integers(0, 256, size=(16, 16, 3)).astype(np.float64)
+                px = np.clip(
+                    np.kron(base, np.ones((8, 8, 1))) + rng.normal(0, 6, (128, 128, 3)),
+                    0,
+                    255,
+                ).astype(np.uint8)
+                enc = encode_jpeg_progressive if i % 2 else encode_jpeg
+                out["image_id"].append(f"img{i:06d}")
+                out["bytes"].append(enc(px, quality=90, subsampling="4:2:0"))
+            yield pd.DataFrame(out)
+
+    src = (
+        spark.range(n)
+        .repartition(cpus * 2)
+        .mapInPandas(gen, "image_id string, bytes binary")
+        .localCheckpoint()
+    )
+    n_rows = src.count()
+    thumbnail_phash(src.limit(100)).count()  # python-worker warmup
+    t0 = time.time()
+    thumbnail_phash(src, num_partitions=cpus * 2).count()
+    thumb_wall = time.time() - t0
+    t0 = time.time()
+    decode_and_validate(src, num_partitions=cpus * 2).count()
+    full_wall = time.time() - t0
+    spark.stop()
+    return {
+        "metric": "thumb_hash_128px",
+        "cpus": cpus,
+        "n_rows": n_rows,
+        "thumb_wall_s": round(thumb_wall, 2),
+        "thumb_imgs_per_s": round(n_rows / thumb_wall, 1),
+        "full_wall_s": round(full_wall, 2),
+        "full_imgs_per_s": round(n_rows / full_wall, 1),
+        "speedup": round(full_wall / thumb_wall, 2),
+    }
+
+
 def main():
     mode = sys.argv[1]
     if mode == "lsh-ingest":
@@ -345,6 +408,9 @@ def main():
         print(json.dumps(assign(int(sys.argv[2]))))
     elif mode == "ivf-index":
         print(json.dumps(ivf_index(int(sys.argv[2]))))
+    elif mode == "thumb":
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else 4000
+        print(json.dumps(thumb(int(sys.argv[2]), n)))
     else:
         raise SystemExit(f"unknown mode {mode}")
 
