@@ -2113,6 +2113,48 @@ def q_pipeline_prep_corpus_v5(spark, sf):
     ).orderBy("image_id")
 
 
+_HAMMING_INDEX_CACHE: dict = {}
+
+
+def q_image_hamming_index_pairs(spark, sf):
+    """The PERSISTED image near-dup path end-to-end
+    (operators/dedup.py:IncrementalHammingIndex): the payload corpus's
+    perceptual hashes are ingested in two batches — each add() returns
+    exact Hamming pairs of the batch against everything stored so far,
+    via partition-pruned band-bucket reads, never corpus×corpus — and
+    the union of per-batch outputs equals the one-shot batch operator
+    (equivalence + replay/guard semantics pinned in
+    tests/test_hamming_index.py). Rows-only (the hashes come from
+    image decode). Cached per (process, sf) like the IVF index row."""
+    import tempfile
+
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.dedup import IncrementalHammingIndex
+
+    cached = _HAMMING_INDEX_CACHE.get(sf)
+    if cached is None:
+        idx = IncrementalHammingIndex(
+            spark, tempfile.mkdtemp(prefix="hidx_"), max_hamming=10, n_buckets=16
+        )
+        pay = payload_df(spark, 600).select("image_id", "phash")
+        # engineered near-dups: every 3rd image also arrives as a twin
+        # whose hash differs by exactly one (id-derived) bit — pure
+        # column arithmetic, the pair structure the index must find
+        twins = pay.filter(F.xxhash64("image_id") % 3 == 0).select(
+            F.concat("image_id", F.lit("#tw")).alias("image_id"),
+            F.expr(
+                "phash ^ shiftleft(CAST(1 AS BIGINT), "
+                "CAST(pmod(xxhash64(image_id), 60) AS INT))"
+            ).alias("phash"),
+        )
+        pay = pay.unionByName(twins)
+        p1 = idx.add(pay.filter(F.xxhash64("image_id", F.lit(7)) % 2 == 0))
+        p2 = idx.add(pay.filter(F.xxhash64("image_id", F.lit(7)) % 2 != 0))
+        cached = p1.unionByName(p2).localCheckpoint()
+        _HAMMING_INDEX_CACHE[sf] = cached
+    return cached.orderBy("image_a", "image_b")
+
+
 def q_image_transcode(spark, sf):
     """Storage transcode pass (operators/multimodal.py:transcode_images):
     decode every payload container and re-encode as baseline JPEG
@@ -2842,6 +2884,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "image_exif_metadata": (q_image_exif_metadata, SQL_IMAGE_EXIF),
     "image_thumb_near_dup": (q_image_thumb_near_dup, None),
     "pipeline_prep_corpus_v5": (q_pipeline_prep_corpus_v5, None),
+    "image_hamming_index_pairs": (q_image_hamming_index_pairs, None),
     "image_transcode": (q_image_transcode, None),
     "image_scrub_metadata": (q_image_scrub_metadata, None),
     "image_caption_gates": (q_image_caption_gates, SQL_IMAGE_GATES),

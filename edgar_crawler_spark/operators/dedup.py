@@ -652,6 +652,173 @@ def hamming_near_dup_pairs(
     )
 
 
+class IncrementalHammingIndex:
+    """Persisted banded-Hamming near-dup index over an integer sketch
+    column (perceptual image hashes, SimHash): ``add(batch)`` returns
+    EXACT pairs (id_a, id_b, hamming ≤ max_hamming) of the batch
+    against everything ingested so far plus batch-internal — never
+    corpus×corpus. The image-axis twin of :class:`IncrementalLSHIndex`
+    (daily crawl slices deduped against the whole visual history),
+    with one structural simplification: the stored sketch rides along
+    in every band row, so verification is an exact ``bit_count(xor)``
+    inside the candidate join itself — no second corpus pass (the
+    MinHash index needs its agreeing-seed estimate leg; Hamming does
+    not).
+
+    State is (doc_id, sketch, band, byteval) rows — bands+1 banding
+    per the pigeonhole guarantee of :func:`hamming_near_dup_pairs` —
+    appended with the same crash-safe manifest commits as the frontier
+    tables.  ``n_buckets`` lays the table out hive-partitioned by
+    ``kb = pmod(xxhash64(band, byteval), n_buckets)``: ``add()`` plans
+    only the partitions the batch touches (directory pruning, stat
+    calls not scans).  (bits, bands, n_buckets) are stamped into every
+    commit and guarded on reopen — a mismatched banding would compute
+    different bytevals and silently miss pairs.  ``bucket_cap`` is the
+    degenerate-bucket guard (every near-black thumbnail shares
+    byteval 0): an over-cap bucket stops emitting, monotonically, same
+    contract as the LSH index.  Replayed batches (crash between the
+    caller's commit and ours) re-append byte-identical rows; the
+    touched-slice dedup in ``add`` neutralizes them exactly as in the
+    LSH index."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        bits: int = 64,
+        max_hamming: int = 6,
+        bands: int | None = None,
+        bucket_cap: int = LSH_BUCKET_CAP,
+        n_buckets: int = 0,
+    ):
+        from edgar_crawler_spark.frontier.state import SnapshotTable
+
+        self.spark = spark
+        self.table = SnapshotTable(path)
+        self.bits = bits
+        self.max_hamming = max_hamming
+        self.bands = bands if bands is not None else max_hamming + 1
+        if self.bands <= max_hamming:
+            raise ValueError("pigeonhole recall needs bands > max_hamming")
+        self.bucket_cap = bucket_cap
+        self.n_buckets = int(n_buckets)
+        self.last_scan_dirs: list[str] | None = None
+        if self.table.current_version():
+            m = self.table.latest_metrics()
+            stamped = (int(m.get("bits", 0)), int(m.get("bands", 0)), int(m.get("n_buckets", 0)))
+            mine = (self.bits, self.bands, self.n_buckets)
+            if stamped != mine:
+                raise ValueError(
+                    f"Hamming index at {path} was written with (bits, bands, "
+                    f"n_buckets)={stamped} but reopened with {mine} — a "
+                    "mismatched banding/layout would silently miss pairs"
+                )
+
+    def _kb_col(self):
+        return F.pmod(F.xxhash64("band", "byteval"), F.lit(self.n_buckets)).cast("int")
+
+    def _band_rows(self, df: DataFrame, id_col: str, hash_col: str) -> DataFrame:
+        bounds = simhash_band_bounds(self.bits, self.bands)
+        return _hamming_banded(df, id_col, hash_col, bounds).select(
+            F.col("__id").alias("doc_id"),
+            F.col("__sk").alias("sketch"),
+            F.col("j").alias("band"),
+            "byteval",
+        )
+
+    def compact(self) -> int:
+        """Fold per-batch commits into one data dir, preserving the
+        hive layout when ``n_buckets`` is set (same hygiene as
+        IncrementalLSHIndex.compact; ``kb`` is recomputed, not stored)."""
+        if not self.n_buckets:
+            return self.table.compact(self.spark)
+        df = self.table.read_flat(self.spark)
+        if df is None:
+            return self.table.current_version()
+        rows = df.withColumn("kb", self._kb_col()).repartition(self.n_buckets, "kb")
+        return self.table.overwrite(
+            rows,
+            metrics={
+                "compaction": True,
+                "bits": self.bits,
+                "bands": self.bands,
+                "n_buckets": self.n_buckets,
+            },
+            partition_by=["kb"],
+        )
+
+    def add(
+        self, df: DataFrame, id_col: str = "image_id", hash_col: str = "phash"
+    ) -> DataFrame:
+        """Ingest a batch; returns distinct exact pairs (<prefix>_a,
+        <prefix>_b, hamming) with at least one batch member, names per
+        the :func:`hamming_near_dup_pairs` convention. The returned
+        frame is materialized (it must not recompute through the state
+        append)."""
+        prefix = id_col.split("_")[0] if id_col.endswith("_id") else id_col
+        out_a, out_b = f"{prefix}_a", f"{prefix}_b"
+        new_rows = self._band_rows(df, id_col, hash_col).persist()
+        if self.n_buckets:
+            touched = [
+                r.kb
+                for r in new_rows.select(self._kb_col().alias("kb")).distinct().collect()
+            ]
+            self.last_scan_dirs = self.table.pruned_paths("kb", touched)
+            old = self.table.read_pruned(self.spark, "kb", touched)
+        else:
+            old = self.table.read(self.spark)
+        new_buckets = new_rows.select("band", "byteval").dropDuplicates()
+        if old is None:
+            relevant = new_rows
+        else:
+            touched_old = (
+                old.join(new_buckets, ["band", "byteval"], "left_semi")
+                .dropDuplicates(["doc_id", "band", "byteval"])
+                .join(new_rows.select("doc_id").dropDuplicates(), "doc_id", "left_anti")
+            )
+            relevant = new_rows.unionByName(touched_old)
+        ok_buckets = (
+            relevant.groupBy("band", "byteval")
+            .agg(F.count("*").alias("__sz"))
+            .filter(F.col("__sz") <= self.bucket_cap)
+            .drop("__sz")
+        )
+        a = new_rows.join(ok_buckets, ["band", "byteval"], "left_semi").alias("a")
+        b = relevant.join(ok_buckets, ["band", "byteval"], "left_semi").alias("b")
+        pairs = (
+            a.join(b, on=["band", "byteval"])
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias(out_a),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias(out_b),
+                F.bit_count(F.col("a.sketch").bitwiseXOR(F.col("b.sketch"))).alias(
+                    "hamming"
+                ),
+            )
+            .filter(F.col("hamming") <= self.max_hamming)
+            .dropDuplicates([out_a, out_b])
+        ).localCheckpoint()
+        n_docs = df.count()
+        if n_docs == 0:
+            new_rows.unpersist()
+            return pairs
+        metrics = {
+            "docs": n_docs,
+            "bits": self.bits,
+            "bands": self.bands,
+            "n_buckets": self.n_buckets,
+        }
+        if self.n_buckets:
+            write_rows = new_rows.withColumn("kb", self._kb_col()).repartition(
+                self.n_buckets, "kb"
+            )
+            self.table.append(write_rows, metrics=metrics, partition_by=["kb"])
+        else:
+            self.table.append(new_rows, metrics=metrics)
+        new_rows.unpersist()
+        return pairs
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     max_hamming: int = 6,
