@@ -229,8 +229,13 @@ def kmeans_mb(cpus: int, copies: int = 512) -> dict:
     training shape (vs 'kmeans' mode's full Lloyd passes).  rows/s
     counts rows actually scanned by Python kernels:
     n × (iterations × fraction + 1).  copies=512 ≈ 1M rows (the r04s3
-    barrier-bound regime); copies=5120 ≈ 10M shows the scan-bound
-    regime where per-round barrier cost amortizes."""
+    barrier-bound regime); copies=5120 ≈ 10M is the scan-bound regime.
+    The corpus is WRITTEN TO PARQUET and read back (the production
+    input shape) — an earlier version persisted the generation frame
+    AND let the trainer checkpoint it, holding the corpus TWICE in the
+    block store: at 10M × 64 doubles that blows the 16g heap into
+    spill+GC (checkpoint materialize 15 s → 209 s measured) and the
+    walls stop measuring the trainer at all."""
     from edgar_crawler_spark.operators.similarity import kmeans_refine_minibatch
 
     spark = get_spark(
@@ -254,16 +259,18 @@ def kmeans_mb(cpus: int, copies: int = 512) -> dict:
                 "embedding", lambda x: x + F.col("c").cast("double") * F.lit(1e-4)
             ).alias("embedding"),
         )
-        .persist()
     )
-    n = big.count()
+    path = tempfile.mkdtemp() + "/kmb_corpus"
+    big.write.mode("overwrite").parquet(path)
+    corpus = spark.read.parquet(path)
+    n = corpus.count()
     iterations, fraction = 5, 0.05
     kmeans_refine_minibatch(
-        big.limit(2000), n_cells=1024, dim=64, iterations=1, fraction=0.5
+        corpus.limit(2000), n_cells=1024, dim=64, iterations=1, fraction=0.5
     )[1].count()  # warm
     t0 = time.time()
     _, assigned = kmeans_refine_minibatch(
-        big, n_cells=1024, dim=64, iterations=iterations, fraction=fraction
+        corpus, n_cells=1024, dim=64, iterations=iterations, fraction=fraction
     )
     n_assigned = assigned.count()
     wall = time.time() - t0
