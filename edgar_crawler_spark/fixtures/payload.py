@@ -206,7 +206,10 @@ def video_df(spark: SparkSession, n: int = 48) -> DataFrame:
     7th REAL MJPEG (per-frame baseline JPEG at quality 98, the lossy
     decode path through functions/jpegcodec.py), every 9th an ANIMATED
     GIF (functions/gifcodec.py; the sinusoid frames have <= h*w <= 256
-    distinct colors, so the palette is exact and decode lossless).
+    distinct colors, so the palette is exact and decode lossless),
+    every 8th an ANIMATED WEBP (functions/webpcodec.py — lossless
+    VP8L frames with dirty-rect delta ANMF sub-rectangles, 40 ms ≈
+    25 fps).
     Every 13th blob is poisoned (truncated RIFF) and every 11th is
     patched to an UNSUPPORTED compressed fourcc (H264) — exercising
     both recorded-error paths of
@@ -215,6 +218,7 @@ def video_df(spark: SparkSession, n: int = 48) -> DataFrame:
     def gen(batches):
         from edgar_crawler_spark.functions.gifcodec import encode_gif_frames
         from edgar_crawler_spark.functions.imaging import encode_avi_mjpg, encode_avi_rgb
+        from edgar_crawler_spark.functions.webpcodec import encode_webp_anim
 
         for pdf in batches:
             rows = {"media_id": [], "bytes": []}
@@ -233,6 +237,11 @@ def video_df(spark: SparkSession, n: int = 48) -> DataFrame:
                     # delay 4 cs ≈ 25 fps — the GIF time base can't hit 24
                     rows["bytes"].append(
                         encode_gif_frames(make_video_frames(i), delay_cs=4)
+                    )
+                    continue
+                if i % 11 != 3 and i % 8 == 4:
+                    rows["bytes"].append(
+                        encode_webp_anim(make_video_frames(i), durations_ms=40)
                     )
                     continue
                 data = encode_avi_rgb(make_video_frames(i), fps=24)

@@ -476,6 +476,10 @@ def decode_video(data: bytes) -> tuple[float, np.ndarray]:
         from edgar_crawler_spark.functions.gifcodec import decode_gif_frames
 
         return decode_gif_frames(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from edgar_crawler_spark.functions.webpcodec import decode_webp_frames
+
+        return decode_webp_frames(data)
     return decode_avi_rgb(data)
 
 

@@ -22,12 +22,19 @@ The encoder emits a configurable feature subset (subtract-green,
 palette with packing, uniform or per-block predictors, color cache,
 distance-1 run LZ77 with linear or short-code distances, optional
 two-group meta prefix) so every decoder path is exercised end-to-end
-by round-trip tests; lossy VP8 and VP8X-extended files raise
-NotImplementedError naming the feature (those need libwebp).
+by round-trip tests.
 
-Pixels are (h, w, 3) uint8 RGB at the API boundary (alpha encoded as
-a constant 255 = a zero-bit prefix code); the internal plane is ARGB
-as the format defines.
+ANIMATED WebP is real too (encode_webp_anim / decode_webp_frames):
+VP8X + ANIM + ANMF chunks per RFC 9649 with lossless VP8L frame
+payloads, dirty-rect delta frames (even-aligned sub-canvas ANMF
+rectangles), non-premultiplied alpha blending, and dispose-to-
+background compositing. Only lossy VP8 frame data raises
+NotImplementedError (that needs libwebp/libvpx — the RFC 6386
+probability tables cannot be reproduced here).
+
+Pixels are (h, w, 3) uint8 RGB at the API boundary ((h, w, 4) RGBA
+accepted by the encoder for blended animation frames); the internal
+plane is ARGB as the format defines.
 """
 
 from __future__ import annotations
@@ -585,19 +592,29 @@ def walk_webp_chunks(data: bytes) -> list[tuple[bytes, int, int]]:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """WebP bytes → (h, w, 3) uint8 RGB. Lossless (VP8L) only,
+    """WebP bytes → (h, w, 3) uint8 RGB. Lossless (VP8L) stills,
     including inside a VP8X extended container (metadata chunks are
-    skipped); lossy VP8 and animated files raise NotImplementedError
-    naming the feature (they need libwebp/libvpx)."""
+    skipped); an ANIMATED file decodes to its FIRST composited frame
+    (the PIL convention — the frame sampler in operators/multimodal.py
+    gets the full sequence via decode_webp_frames). Lossy VP8 raises
+    NotImplementedError naming the feature (needs libwebp/libvpx)."""
     chunks = {fourcc: (at, ln) for fourcc, at, ln in walk_webp_chunks(data)}
     if b"ANIM" in chunks or b"ANMF" in chunks:
-        raise NotImplementedError("animated WebP requires libwebp (absent here)")
+        _, frames = decode_webp_frames(data)
+        return frames[0]
     if b"VP8L" not in chunks:
         if b"VP8 " in chunks:
             raise NotImplementedError("lossy VP8 WebP requires libwebp (absent here)")
         raise ValueError(f"no decodable image chunk in {sorted(chunks)!r}")
     at, ln = chunks[b"VP8L"]
-    payload = data[at : at + ln]
+    argb = _decode_vp8l_payload(data[at : at + ln])
+    return np.ascontiguousarray(argb[:, :, 1:4])  # ARGB → RGB
+
+
+def _decode_vp8l_payload(payload: bytes) -> np.ndarray:
+    """Raw VP8L chunk payload (signature byte included) →
+    (h, w, 4) uint8 ARGB — alpha kept so animation compositing can
+    blend; still-image callers slice channels 1:4."""
     if not payload or payload[0] != 0x2F:
         raise ValueError("VP8L: bad signature byte")
     br = _BitReader(payload[1:])
@@ -653,7 +670,7 @@ def decode_webp(data: bytes) -> np.ndarray:
             cur_w = w
     if img.shape[1] != w:
         raise ValueError("VP8L: width mismatch after transforms")
-    return np.ascontiguousarray(img[:, :, 1:4])  # ARGB → RGB
+    return img
 
 
 # --------------------------------------------------------------------------
@@ -800,6 +817,16 @@ def _tokenize(
 
 def encode_webp(
     pixels: np.ndarray,
+    **knobs,
+) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w, 4) RGBA) → lossless WebP (VP8L)
+    still image. Always lossless. See encode_vp8l for the feature
+    knobs that drive every decoder path in round-trip tests."""
+    return _riff(encode_vp8l(pixels, **knobs))
+
+
+def encode_vp8l(
+    pixels: np.ndarray,
     subtract_green: bool = True,
     cache_bits: int = 0,
     use_lz77: bool = True,
@@ -811,7 +838,9 @@ def encode_webp(
     color_size_bits: int = 4,
     meta_group_bits: int | None = None,
 ) -> bytes:
-    """(h, w, 3) uint8 RGB → lossless WebP (VP8L). Always lossless.
+    """(h, w, 3) RGB or (h, w, 4) RGBA uint8 → raw VP8L chunk payload
+    (signature byte included) — shared by the still-image RIFF wrapper
+    and the per-frame ANMF sub-chunks of animations.
 
     Feature knobs exist so round-trip tests drive every decoder path:
     ``palette=True`` uses COLOR_INDEXING (requires <= 256 distinct
@@ -820,18 +849,20 @@ def encode_webp(
     PREDICTOR transform), ``short_codes`` emits the distance-1 run
     through the neighbor map instead of the linear form."""
     h, w, c = pixels.shape
-    assert c == 3 and pixels.dtype == np.uint8
+    assert c in (3, 4) and pixels.dtype == np.uint8
     argb = np.zeros((h, w, 4), np.uint8)
-    argb[:, :, 0] = 255
-    argb[:, :, 1:4] = pixels
+    argb[:, :, 0] = 255 if c == 3 else pixels[:, :, 3]
+    argb[:, :, 1:4] = pixels[:, :, :3]
+    has_alpha = c == 4 and bool((pixels[:, :, 3] != 255).any())
     bw_ = _BitWriter()
     bw_.bits(w - 1, 14)
     bw_.bits(h - 1, 14)
-    bw_.bits(0, 1)  # no alpha hint
+    bw_.bits(1 if has_alpha else 0, 1)  # alpha hint
     bw_.bits(0, 3)  # version
 
     xsize = w
     if palette:
+        assert c == 3, "palette mode is RGB-only"
         flat = pixels.reshape(-1, 3)
         colors = np.unique(flat, axis=0)
         if len(colors) > 256:
@@ -870,7 +901,7 @@ def encode_webp(
         argb[:, :, 2] = packed
         bw_.bits(0, 1)  # end of transforms
         _encode_entropy_image(bw_, argb, cache_bits, use_lz77, True, short_codes)
-        return _riff(bw_.bytes())
+        return b"\x2f" + bw_.bytes()
 
     if color_elems is not None:
         bw_.bits(1, 1)
@@ -912,7 +943,7 @@ def encode_webp(
         _encode_meta_image(bw_, argb, meta_group_bits)
     else:
         _encode_entropy_image(bw_, argb, cache_bits, use_lz77, True, short_codes)
-    return _riff(bw_.bytes())
+    return b"\x2f" + bw_.bytes()
 
 
 def _fwd_color_transform(argb: np.ndarray, elems: np.ndarray, size_bits: int) -> np.ndarray:
@@ -1012,10 +1043,198 @@ def _encode_entropy_image(
     _tokenize(argb, argb.shape[1], cache_bits, use_lz77, short_codes).write(bw)
 
 
-def _riff(payload: bytes) -> bytes:
-    vp8l = b"\x2f" + payload
-    if len(vp8l) % 2:
-        chunk = struct.pack("<4sI", b"VP8L", len(vp8l)) + vp8l + b"\x00"
-    else:
-        chunk = struct.pack("<4sI", b"VP8L", len(vp8l)) + vp8l
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    """One even-padded RIFF chunk."""
+    out = struct.pack("<4sI", fourcc, len(payload)) + payload
+    return out + b"\x00" if len(payload) % 2 else out
+
+
+def _riff_container(chunks: bytes) -> bytes:
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def _riff(vp8l_payload: bytes) -> bytes:
+    return _riff_container(_chunk(b"VP8L", vp8l_payload))
+
+
+def _u24(v: int) -> bytes:
+    if not 0 <= v < 1 << 24:
+        raise ValueError(f"value {v} out of 24-bit range")
+    return struct.pack("<I", v)[:3]
+
+
+def _r24(b: bytes) -> int:
+    return int.from_bytes(b, "little")
+
+
+# --------------------------------------------------------------------------
+# Animation (RFC 9649 VP8X/ANIM/ANMF container over VP8L frames)
+
+_VP8X_ANIM, _VP8X_ALPHA = 0x02, 0x10
+
+
+def encode_webp_anim(
+    frames: np.ndarray,
+    durations_ms: list[int] | int = 40,
+    loop_count: int = 0,
+    bg_rgba: tuple[int, int, int, int] = (255, 255, 255, 255),
+    delta: bool = True,
+    blend: list[bool] | bool = False,
+    dispose: list[bool] | bool = False,
+    **vp8l_knobs,
+) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → animated WebP (VP8X + ANIM +
+    one ANMF per frame, each carrying a lossless VP8L sub-chunk).
+
+    ``delta=True`` stores every frame after the first as the even-
+    aligned bounding rectangle of pixels that changed vs the previous
+    frame (ANMF x/y offsets are stored divided by 2, so the rect snaps
+    outward to even coordinates) with blending disabled — the standard
+    dirty-rect animation optimization, and it exercises the decoder's
+    sub-canvas compositing path. ``blend``/``dispose`` set each
+    frame's B/D flag bits (lists or one value for all); blended frames
+    must then carry their own alpha via a 4-channel ``frames`` array.
+    """
+    frames = np.asarray(frames)
+    n, h, w = frames.shape[:3]
+    if n == 0:
+        raise ValueError("animation needs at least one frame")
+    if isinstance(durations_ms, int):
+        durations_ms = [durations_ms] * n
+    blends = list(blend) if isinstance(blend, (list, tuple)) else [blend] * n
+    disposes = list(dispose) if isinstance(dispose, (list, tuple)) else [dispose] * n
+    if not (len(durations_ms) == len(blends) == len(disposes) == n):
+        raise ValueError("per-frame argument length mismatch")
+
+    any_alpha = frames.shape[-1] == 4 and bool((frames[..., 3] != 255).any())
+    vp8x = (
+        bytes([_VP8X_ANIM | (_VP8X_ALPHA if any_alpha else 0), 0, 0, 0])
+        + _u24(w - 1)
+        + _u24(h - 1)
+    )
+    b, g, r, a = bg_rgba[2], bg_rgba[1], bg_rgba[0], bg_rgba[3]
+    anim = bytes([b, g, r, a]) + struct.pack("<H", loop_count)
+    body = _chunk(b"VP8X", vp8x) + _chunk(b"ANIM", anim)
+    prev = None
+    for i in range(n):
+        fr = frames[i]
+        x0 = y0 = 0
+        rect = fr
+        if delta and prev is not None and not blends[i] and not disposes[i - 1]:
+            changed = (fr[:, :, :3] != prev).any(axis=-1)
+            ys, xs = np.nonzero(changed)
+            if len(ys) == 0:
+                # nothing changed: a minimal 1x1 overwrite keeps the
+                # frame (and its duration) in the stream
+                y1, x1 = 1, 1
+            else:
+                y0, x0 = int(ys.min()) & ~1, int(xs.min()) & ~1
+                y1, x1 = int(ys.max()) + 1, int(xs.max()) + 1
+            rect = fr[y0:y1, x0:x1]
+        rh, rw = rect.shape[:2]
+        flags = (0 if blends[i] else 2) | (1 if disposes[i] else 0)
+        anmf = (
+            _u24(x0 // 2)
+            + _u24(y0 // 2)
+            + _u24(rw - 1)
+            + _u24(rh - 1)
+            + _u24(int(durations_ms[i]))
+            + bytes([flags])
+            + _chunk(b"VP8L", encode_vp8l(np.ascontiguousarray(rect), **vp8l_knobs))
+        )
+        body += _chunk(b"ANMF", anmf)
+        prev = fr[:, :, :3] if fr.shape[-1] == 4 else fr
+    return _riff_container(body)
+
+
+def decode_webp_frames(data: bytes) -> tuple[float, np.ndarray]:
+    """Animated WebP → ``(fps, (n, h, w, 3) uint8 RGB frames)``, the
+    same contract as decode_gif_frames / decode_avi_rgb so the video
+    frame sampler is container-agnostic.
+
+    Composites per RFC 9649: the canvas starts fully transparent;
+    each ANMF pastes its sub-rectangle at (2*x, 2*y) either by
+    overwrite (B=1) or non-premultiplied alpha-blending (B=0); after a
+    frame is snapshotted, D=1 disposes its rectangle to the ANIM
+    background color. Output frames are flattened over the background
+    color. A still (no ANMF) raises ValueError; lossy VP8 frame data
+    raises NotImplementedError."""
+    chunks = walk_webp_chunks(data)
+    by4 = {fourcc: (at, ln) for fourcc, at, ln in chunks}
+    if b"VP8X" not in by4:
+        raise ValueError("animated WebP needs a VP8X header")
+    at, ln = by4[b"VP8X"]
+    if ln < 10:
+        raise ValueError("VP8X payload truncated")
+    cw = _r24(data[at + 4 : at + 7]) + 1
+    ch = _r24(data[at + 7 : at + 10]) + 1
+    bg = np.zeros(4, np.float64)
+    loop_count = 0
+    if b"ANIM" in by4:
+        aat, aln = by4[b"ANIM"]
+        if aln < 6:
+            raise ValueError("ANIM payload truncated")
+        bb, gg, rr, aa = data[aat : aat + 4]
+        bg = np.array([aa, rr, gg, bb], np.float64)  # ARGB order
+        (loop_count,) = struct.unpack("<H", data[aat + 4 : aat + 6])
+    canvas = np.zeros((ch, cw, 4), np.float64)  # ARGB, transparent
+    out_frames: list[np.ndarray] = []
+    durations: list[int] = []
+    for fourcc, at, ln in chunks:
+        if fourcc != b"ANMF":
+            continue
+        if ln < 16:
+            raise ValueError("ANMF payload truncated")
+        hdr = data[at : at + 16]
+        fx = _r24(hdr[0:3]) * 2
+        fy = _r24(hdr[3:6]) * 2
+        fw = _r24(hdr[6:9]) + 1
+        fh = _r24(hdr[9:12]) + 1
+        durations.append(_r24(hdr[12:15]))
+        flags = hdr[15]
+        blend_frame = not (flags & 2)
+        dispose_frame = bool(flags & 1)
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError("ANMF frame rectangle outside the canvas")
+        # frame data: sub-chunks (ALPH skipped; VP8L decoded)
+        sub = data[at + 16 : at + ln]
+        argb = None
+        pos = 0
+        while pos + 8 <= len(sub):
+            sc = sub[pos : pos + 4]
+            (sl,) = struct.unpack("<I", sub[pos + 4 : pos + 8])
+            if sc == b"VP8L":
+                argb = _decode_vp8l_payload(sub[pos + 8 : pos + 8 + sl])
+            elif sc == b"VP8 ":
+                raise NotImplementedError(
+                    "lossy VP8 animation frames require libwebp (absent here)"
+                )
+            pos += 8 + sl + (sl & 1)
+        if argb is None:
+            raise ValueError("ANMF frame carries no image sub-chunk")
+        if argb.shape[:2] != (fh, fw):
+            raise ValueError("ANMF frame dimensions disagree with its bitstream")
+        fr = argb.astype(np.float64)
+        dst = canvas[fy : fy + fh, fx : fx + fw]
+        if blend_frame:
+            af = fr[:, :, 0:1] / 255.0
+            ac = dst[:, :, 0:1] / 255.0
+            ao = af + ac * (1.0 - af)
+            rgb = fr[:, :, 1:4] * af + dst[:, :, 1:4] * ac * (1.0 - af)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                rgb = np.where(ao > 0, rgb / np.where(ao > 0, ao, 1.0), 0.0)
+            dst[:, :, 0:1] = ao * 255.0
+            dst[:, :, 1:4] = rgb
+        else:
+            dst[:] = fr
+        # snapshot flattened over the background color
+        al = canvas[:, :, 0:1] / 255.0
+        snap = canvas[:, :, 1:4] * al + bg[1:4] * (bg[0] / 255.0) * (1.0 - al)
+        out_frames.append(np.clip(np.rint(snap), 0, 255).astype(np.uint8))
+        if dispose_frame:
+            canvas[fy : fy + fh, fx : fx + fw] = bg
+    if not out_frames:
+        raise ValueError("animated WebP carries no ANMF frames")
+    mean_ms = float(np.mean([d if d > 0 else 100 for d in durations]))
+    fps = 1000.0 / mean_ms if mean_ms > 0 else 25.0
+    return fps, np.stack(out_frames)

@@ -214,17 +214,20 @@ def test_video_frame_sample_real_kernel(spark):
     out = sample_video_frames(video_df(spark, 30), every_n=2).toPandas()
     ok = out[out.decode_ok == "ok"]
     assert len(ok) > 0
-    mjpeg_seen = gif_seen = 0
+    mjpeg_seen = gif_seen = webp_seen = 0
     # every clean clip emits ceil(n_frames / 2) rows at even indices
     for mid, grp in ok.groupby("media_id"):
         i = int(mid[3:])
         ref = make_video_frames(i)
         is_gif = i % 11 != 3 and i % 7 != 1 and i % 9 == 2
+        is_webp = i % 11 != 3 and i % 7 != 1 and i % 9 != 2 and i % 8 == 4
         gif_seen += is_gif
+        webp_seen += is_webp
         assert sorted(grp.frame_idx) == list(range(0, len(ref), 2))
-        # animated GIF's centisecond time base → 25 fps, AVI → 24
+        # animated GIF's centisecond time base and animated WebP's
+        # 40 ms frames → 25 fps, AVI → 24
         assert (grp.n_frames == len(ref)).all()
-        assert (grp.fps == (25.0 if is_gif else 24.0)).all()
+        assert (grp.fps == (25.0 if is_gif or is_webp else 24.0)).all()
         r = grp[grp.frame_idx == 2].iloc[0]
         got = decode_image(bytes(r.frame_png))
         if i % 11 != 3 and i % 7 == 1:  # real MJPEG clip: lossy parity
@@ -233,7 +236,7 @@ def test_video_frame_sample_real_kernel(spark):
         else:  # exact pixel parity (AVI and GIF legs are both lossless)
             assert (got == ref[2]).all()
         assert r.frame_phash is not None
-    assert mjpeg_seen > 0 and gif_seen > 0
+    assert mjpeg_seen > 0 and gif_seen > 0 and webp_seen > 0
     # poisoned (i % 13 == 5) and compressed (i % 11 == 3) rows recorded
     bad = out[out.decode_ok != "ok"].set_index("media_id").decode_ok
     assert bad.loc["vid00005"] == "ValueError"

@@ -133,12 +133,14 @@ def test_lossy_and_extended_raise_named():
     )
     with pytest.raises(NotImplementedError, match="lossy"):
         decode_webp(fake_vp8x_lossy)
+    # animated markers with a frameless/truncated body are malformed
+    # (real animations decode — see TestAnimatedWebP), not unsupported
     fake_anim = (
         b"RIFF" + struct.pack("<I", 20) + b"WEBP"
         + b"VP8X" + struct.pack("<I", 0)
         + b"ANIM" + struct.pack("<I", 0)
     )
-    with pytest.raises(NotImplementedError, match="animated"):
+    with pytest.raises(ValueError, match="VP8X"):
         decode_webp(fake_anim)
     # VP8X with no image chunk at all is malformed, not unsupported
     fake_vp8x = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8X" + struct.pack("<I", 0)
@@ -160,3 +162,183 @@ def test_imaging_dispatch():
 
     avi = encode_avi_rgb(px[None], fps=10)
     assert sniff_format(avi) is None
+
+
+# --------------------------------------------------------------------------
+# Animated WebP (VP8X + ANIM + ANMF over VP8L frames)
+
+
+class TestAnimatedWebP:
+    def _clip(self, n=5, h=24, w=40):
+        frames = np.zeros((n, h, w, 3), np.uint8)
+        frames[:] = [10, 30, 60]
+        for i in range(n):
+            frames[i, 3 + 2 * i : 11 + 2 * i, 4 + 3 * i : 16 + 3 * i] = [250, 120, 40]
+        return frames
+
+    def test_roundtrip_delta_rects(self):
+        from edgar_crawler_spark.functions.webpcodec import (
+            decode_webp_frames,
+            encode_webp_anim,
+            walk_webp_chunks,
+        )
+
+        frames = self._clip()
+        blob = encode_webp_anim(frames, durations_ms=50, loop_count=3)
+        fps, got = decode_webp_frames(blob)
+        assert np.array_equal(got, frames)  # VP8L frames are lossless
+        assert fps == pytest.approx(20.0)
+        # the container really is VP8X/ANIM/ANMF with one frame each
+        fourccs = [f for f, _, _ in walk_webp_chunks(blob)]
+        assert fourccs[:2] == [b"VP8X", b"ANIM"]
+        assert fourccs.count(b"ANMF") == len(frames)
+        # delta frames are sub-canvas rectangles: every ANMF after the
+        # first is smaller than a full-frame encode would be
+        sizes = [ln for f, _, ln in walk_webp_chunks(blob) if f == b"ANMF"]
+        hdr = blob.find(b"ANMF") + 8
+        assert blob[hdr : hdr + 6] == b"\x00" * 6  # frame 0 at (0, 0)
+
+    def test_decode_webp_returns_first_frame(self):
+        from edgar_crawler_spark.functions.webpcodec import encode_webp_anim
+
+        frames = self._clip(n=3)
+        assert np.array_equal(decode_webp(encode_webp_anim(frames, 40)), frames[0])
+
+    def test_sub_rect_offsets_compose(self):
+        """Hand-pinned ANMF x/y semantics: offsets are stored halved,
+        the decoder pastes at (2x, 2y)."""
+        from edgar_crawler_spark.functions.webpcodec import (
+            decode_webp_frames,
+            encode_webp_anim,
+        )
+
+        frames = np.zeros((2, 16, 16, 3), np.uint8)
+        frames[1, 6:9, 10:13] = 255  # odd-sized change at odd offset
+        blob = encode_webp_anim(frames, durations_ms=40)
+        # stored rect must start at the even-snapped corner (10, 6) → (5, 3)
+        at = blob.rfind(b"ANMF") + 8
+        assert int.from_bytes(blob[at : at + 3], "little") == 5
+        assert int.from_bytes(blob[at + 3 : at + 6], "little") == 3
+        _, got = decode_webp_frames(blob)
+        assert np.array_equal(got, frames)
+
+    def test_alpha_blend_over_canvas(self):
+        from edgar_crawler_spark.functions.webpcodec import (
+            decode_webp_frames,
+            encode_webp_anim,
+        )
+
+        f0 = np.zeros((8, 8, 4), np.uint8)
+        f0[:, :, 2] = 255
+        f0[:, :, 3] = 255  # opaque blue
+        f1 = np.zeros((8, 8, 4), np.uint8)
+        f1[:, :, 0] = 255
+        f1[:, :, 3] = 128  # half-transparent red
+        blob = encode_webp_anim(
+            np.stack([f0, f1]), durations_ms=[40, 40], blend=[False, True], delta=False
+        )
+        _, got = decode_webp_frames(blob)
+        assert np.array_equal(got[0], f0[:, :, :3])
+        r, g, b = (int(v) for v in got[1, 0, 0])
+        a = 128 / 255
+        assert abs(r - round(255 * a)) <= 1
+        assert abs(b - round(255 * (1 - a))) <= 1
+        assert g == 0
+
+    def test_dispose_to_background(self):
+        from edgar_crawler_spark.functions.webpcodec import (
+            decode_webp_frames,
+            encode_webp_anim,
+        )
+
+        frames = np.zeros((2, 8, 8, 3), np.uint8)
+        frames[0] = 200
+        frames[1, :, :4] = 90  # second frame covers the left half only
+        bg = (7, 11, 13, 255)
+        # frame 0 disposes to background; frame 1 is a half-width rect,
+        # so the right half of frame 1's snapshot shows the background
+        f1_rect = frames[1][:, :4]
+        import edgar_crawler_spark.functions.webpcodec as wc
+
+        body = wc._chunk(
+            b"VP8X", bytes([wc._VP8X_ANIM, 0, 0, 0]) + wc._u24(7) + wc._u24(7)
+        )
+        body += wc._chunk(
+            b"ANIM", bytes([bg[2], bg[1], bg[0], bg[3]]) + struct.pack("<H", 0)
+        )
+        body += wc._chunk(
+            b"ANMF",
+            wc._u24(0) + wc._u24(0) + wc._u24(7) + wc._u24(7) + wc._u24(40)
+            + bytes([2 | 1])  # no-blend, dispose
+            + wc._chunk(b"VP8L", wc.encode_vp8l(frames[0])),
+        )
+        body += wc._chunk(
+            b"ANMF",
+            wc._u24(0) + wc._u24(0) + wc._u24(3) + wc._u24(7) + wc._u24(40)
+            + bytes([2])  # no-blend, keep
+            + wc._chunk(b"VP8L", wc.encode_vp8l(np.ascontiguousarray(f1_rect))),
+        )
+        blob = wc._riff_container(body)
+        _, got = decode_webp_frames(blob)
+        assert np.array_equal(got[0], frames[0])
+        assert np.array_equal(got[1][:, :4], f1_rect)
+        assert (got[1][:, 4:] == np.array(bg[:3], np.uint8)).all()
+
+    def test_malformed_and_lossy_frames(self):
+        from edgar_crawler_spark.functions.webpcodec import (
+            decode_webp_frames,
+            encode_webp_anim,
+        )
+        import edgar_crawler_spark.functions.webpcodec as wc
+
+        with pytest.raises(ValueError, match="at least one frame"):
+            encode_webp_anim(np.zeros((0, 4, 4, 3), np.uint8), 40)
+        # lossy VP8 frame payload raises NAMED NotImplementedError
+        body = wc._chunk(
+            b"VP8X", bytes([wc._VP8X_ANIM, 0, 0, 0]) + wc._u24(3) + wc._u24(3)
+        )
+        body += wc._chunk(b"ANIM", bytes(4) + struct.pack("<H", 0))
+        body += wc._chunk(
+            b"ANMF",
+            wc._u24(0) * 2 + wc._u24(3) + wc._u24(3) + wc._u24(40) + bytes([2])
+            + wc._chunk(b"VP8 ", b"\x00" * 6),
+        )
+        with pytest.raises(NotImplementedError, match="lossy"):
+            decode_webp_frames(wc._riff_container(body))
+        # frame rect outside the canvas is malformed
+        frames = np.zeros((1, 4, 4, 3), np.uint8)
+        blob = bytearray(encode_webp_anim(frames, 40))
+        at = blob.find(b"ANMF") + 8 + 6
+        blob[at : at + 3] = wc._u24(63)  # claim a 64-wide frame on a 4-canvas
+        with pytest.raises(ValueError, match="canvas|disagree"):
+            decode_webp_frames(bytes(blob))
+
+    def test_video_dispatch_and_scrub(self):
+        """decode_video picks the WebP decoder for RIFF/WEBP; the EXIF
+        scrub keeps an animated container intact (ANIM flag holds the
+        VP8X wrapper)."""
+        from edgar_crawler_spark.functions.imaging import decode_video
+        from edgar_crawler_spark.functions.metadata import (
+            strip_image_metadata,
+        )
+        from edgar_crawler_spark.functions.webpcodec import (
+            encode_webp_anim,
+            walk_webp_chunks,
+        )
+
+        frames = self._clip(n=3)
+        blob = encode_webp_anim(frames, durations_ms=40)
+        fps, got = decode_video(blob)
+        assert fps == pytest.approx(25.0)
+        assert np.array_equal(got, frames)
+        # splice an EXIF chunk in, scrub it back out
+        chunks = walk_webp_chunks(blob)
+        vp8x_at = chunks[0][1]
+        tagged = bytearray(blob)
+        tagged[vp8x_at] |= 0x08  # EXIF flag
+        tagged = bytes(tagged) + b"EXIF" + struct.pack("<I", 4) + b"ABCD"
+        tagged = tagged[:4] + struct.pack("<I", len(tagged) - 8) + tagged[8:]
+        scrubbed, removed = strip_image_metadata(tagged)
+        assert removed == ["EXIF"]
+        _, again = decode_video(scrubbed)
+        assert np.array_equal(again, frames)
