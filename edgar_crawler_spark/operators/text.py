@@ -295,6 +295,118 @@ def decontamination_overlap(
     )
 
 
+def decontamination_overlap_bloom(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    num_shards: int = 32,
+    fpp: float = 1e-4,
+    expected_bench_grams: int | None = None,
+) -> DataFrame:
+    """Scale twin of :func:`decontamination_overlap` for the regime
+    where the benchmark side is too large to broadcast as a gram set
+    (a full eval-suite union easily reaches 10^8 distinct grams —
+    gigabytes of strings per executor under the broadcast contract).
+
+    Plan: the bench grams reduce to xxhash64 values folded into
+    SHARDED Bloom bitsets, built distributed by the same
+    ``BloomFilterTable`` machinery as the URL-seen filter (one
+    map-side pass over the bench, one bitset per hash shard). The
+    bitsets are bounded bytes regardless of bench row count (~2.4 MB
+    per 10^6 grams at fpp 1e-4), so they collect to the driver and
+    broadcast — the classic runtime-filter shape. Corpus grams then
+    stream ONCE through a vectorized Arrow prefilter with NO shuffle
+    (the bitset probe is partition-local), and only survivors —
+    truly contaminated grams plus ~fpp of the rest — enter the exact
+    string-equality join against the bench gram set, which kills
+    every Bloom false positive. Output is therefore IDENTICAL to
+    ``decontamination_overlap`` (pytest-pinned), while the gram
+    stream entering the join shrinks from |corpus grams| to
+    |contaminated| + fpp·|clean|.
+
+    ``expected_bench_grams`` skips the sizing count when the caller
+    knows the bench cardinality (hints are upper bounds — oversizing
+    is safe, undersizing inflates fpp and only costs prefilter
+    selectivity, never correctness). The bench gram stream is derived
+    twice (bloom build + exact verify); persist ``bench_docs``
+    upstream if that scan is expensive."""
+    from edgar_crawler_spark.frontier.seen import BloomFilterTable
+
+    import numpy as np
+
+    corpus_grams = _word_ngrams(docs, n, text_col).dropDuplicates(["doc_id", "gram"])
+    bench_grams = _word_ngrams(bench_docs, n, text_col).select("gram").dropDuplicates()
+    per_shard = (
+        max(1, expected_bench_grams // num_shards + 1)
+        if expected_bench_grams is not None
+        else None
+    )
+    bloom = BloomFilterTable.build(
+        bench_grams.select(F.xxhash64("gram").alias("gram_hash")),
+        hash_col="gram_hash",
+        num_shards=num_shards,
+        expected_per_shard=per_shard,
+        fpp=fpp,
+    )
+    shards = {
+        int(r["shard"]): (
+            np.frombuffer(r["bitset"], np.uint8),
+            int(r["m_bits"]),
+            int(r["k_hashes"]),
+        )
+        for r in bloom.df.collect()  # bounded: num_shards × m/8 bytes
+    }
+    bc = docs.sparkSession.sparkContext.broadcast(shards)
+
+    with_hash = corpus_grams.withColumn("gram_hash", F.xxhash64("gram"))
+    out_schema = with_hash.schema
+
+    def prefilter(batches):
+        from edgar_crawler_spark.frontier.seen import _positions
+
+        table = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["gram_hash"].to_numpy(np.int64)
+            sh = h % num_shards  # numpy % is sign-of-divisor == Spark pmod
+            keep = np.zeros(len(pdf), bool)
+            for s in np.unique(sh):
+                entry = table.get(int(s))
+                if entry is None:
+                    continue  # empty shard ⇒ nothing from the bench hashes here
+                bits, m, k = entry
+                idx = np.nonzero(sh == s)[0]
+                pos = _positions(h[idx], m, k)
+                hit = (bits[(pos >> 3).astype(np.int64)] >> (pos & 7).astype(np.uint8)) & 1
+                keep[idx] = hit.all(axis=0)
+            out = pdf[keep]
+            if len(out):
+                yield out
+
+    maybe = with_hash.mapInPandas(prefilter, out_schema)
+    totals = corpus_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        maybe.join(bench_grams, "gram")  # exact verify: false positives die here
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    ratio = F.col("n_overlap") / F.col("n_grams").cast("double")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.round(ratio, 6).alias("contamination_ratio"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return docs.select(

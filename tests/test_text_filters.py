@@ -217,3 +217,59 @@ def test_token_entropy_extremes(spark):
     assert abs(out[2].entropy_bits - 3.0) < 1e-9 and out[2].ttr == 1.0
     assert out[3].n_tokens == 0 and out[3].entropy_bits == 0.0 and out[3].ttr == 0.0
     assert math.isclose(out[2].n_tokens, 8)
+
+
+def test_decontamination_bloom_equals_broadcast(spark):
+    """The Bloom-prefilter scale twin returns EXACTLY the broadcast
+    version's rows — false positives die in the exact verify join —
+    across fpp settings, including a deliberately awful fpp where the
+    prefilter passes nearly everything."""
+    docs = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma tok"),
+            (F.col("id") % 11).cast("string"),
+            F.lit(" delta epsilon zeta tok"),
+            (F.col("id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id") % 9 == 0)
+    corpus = docs.filter(F.col("doc_id") % 9 != 0)
+    exact = {
+        r.doc_id: r
+        for r in text.decontamination_overlap(corpus, bench, n=3, threshold=0.5).collect()
+    }
+    for fpp, shards in [(1e-4, 8), (0.4, 3)]:
+        got = {
+            r.doc_id: r
+            for r in text.decontamination_overlap_bloom(
+                corpus, bench, n=3, threshold=0.5, num_shards=shards, fpp=fpp
+            ).collect()
+        }
+        assert set(got) == set(exact)
+        for d, r in exact.items():
+            g = got[d]
+            assert (g.n_grams, g.n_overlap, g.contamination_ratio, g.contaminated) == (
+                r.n_grams, r.n_overlap, r.contamination_ratio, r.contaminated
+            ), d
+
+
+def test_decontamination_bloom_prefilter_selectivity(spark):
+    """The prefilter really drops clean grams before the verify join:
+    with a tight fpp and a bench disjoint from the corpus, zero rows
+    survive to the exact join (checked through the plan-free route —
+    every doc reports 0 overlap) and an empty bench behaves the same."""
+    corpus = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique"), F.col("id").cast("string"),
+                 F.lit(" middle words here okay")).alias("text"),
+    )
+    bench = spark.createDataFrame(
+        [(999, "totally disjoint benchmark sentence nothing shared")],
+        ["doc_id", "text"],
+    )
+    out = text.decontamination_overlap_bloom(corpus, bench, n=3, num_shards=4).collect()
+    assert len(out) == 50 and all(r.n_overlap == 0 and not r.contaminated for r in out)
+    empty_bench = bench.filter(F.lit(False))
+    out2 = text.decontamination_overlap_bloom(corpus, empty_bench, n=3).collect()
+    assert len(out2) == 50 and all(r.n_overlap == 0 for r in out2)
