@@ -819,3 +819,103 @@ def extract_audio_features(
             yield out
 
     return df.mapInPandas(run, out_schema)
+
+
+def image_header_probe(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Header-only format + dimension probe, entirely JVM-side — ZERO
+    Python, no decode: magic-number sniff plus fixed-offset width/
+    height extraction as whole-stage-codegen expressions
+    (``substring``/``hex``/``conv`` over the binary column).
+
+    This is the scan-speed integrity gate for a crawled image corpus:
+    at 10^10 rows you cannot afford a decode (or even an Arrow
+    transfer) just to ask "does the stored (w, h, fmt) metadata match
+    the actual bytes?" — a probe that reads a few header bytes per row
+    catches truncated downloads, content-type lies, and corrupted
+    rows inside the parquet scan stage itself, and rows it flags (or
+    can't fix-offset parse, e.g. JPEG) fall through to the real decode
+    kernel (:func:`decode_and_validate`).
+
+    Fixed-offset formats covered: PNG (IHDR, big-endian), GIF
+    (logical screen, little-endian), BMP (BITMAPINFOHEADER,
+    little-endian signed; top-down negative heights normalized), QNT
+    (the fixture's stand-in lossy container), WebP VP8L (14-bit
+    packed dims) and WebP VP8X (24-bit canvas dims). JPEG is sniffed
+    (``fmt_sniffed='jpeg'``) but dims stay NULL: SOFn offsets are
+    variable, so JPEG sizing belongs to the marker-walking decode
+    kernel, not a fixed-offset probe.
+
+    Appends ``fmt_sniffed`` (NULL = unknown container), ``hdr_w``,
+    ``hdr_h`` (NULL = format carries no fixed-offset dims or blob too
+    short). Input columns pass through untouched."""
+    b = F.col(bytes_col)
+    n = F.length(b)
+
+    def byte(i: int):  # 1-indexed unsigned byte as long
+        return F.conv(F.hex(F.substring(b, i, 1)), 16, 10).cast("long")
+
+    def be32(off: int):
+        return F.conv(F.hex(F.substring(b, off, 4)), 16, 10).cast("long")
+
+    def le16(off: int):
+        return byte(off) + byte(off + 1) * 256
+
+    def le24(off: int):
+        return byte(off) + byte(off + 1) * 256 + byte(off + 2) * 65536
+
+    def le32_signed(off: int):
+        v = le24(off) + byte(off + 3) * 16777216
+        return F.when(v >= F.lit(1 << 31), v - F.lit(1 << 32)).otherwise(v)
+
+    is_png = (n >= 24) & (
+        F.substring(b, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n")
+    )
+    is_jpeg = (n >= 3) & (F.substring(b, 1, 3) == F.lit(b"\xff\xd8\xff"))
+    is_gif = (n >= 10) & (F.substring(b, 1, 4) == F.lit(b"GIF8"))
+    is_bmp = (n >= 26) & (F.substring(b, 1, 2) == F.lit(b"BM"))
+    is_qnt = (n >= 13) & (F.substring(b, 1, 4) == F.lit(b"QNT1"))
+    is_riff = (F.substring(b, 1, 4) == F.lit(b"RIFF")) & (
+        F.substring(b, 9, 4) == F.lit(b"WEBP")
+    )
+    is_vp8l = (n >= 25) & is_riff & (
+        F.substring(b, 13, 4) == F.lit(b"VP8L")
+    ) & (byte(21) == 0x2F)
+    is_vp8x = (n >= 30) & is_riff & (F.substring(b, 13, 4) == F.lit(b"VP8X"))
+
+    vp8l_w = F.lit(1) + (byte(22) + F.shiftleft(byte(23).bitwiseAND(F.lit(0x3F)), 8))
+    vp8l_h = F.lit(1) + (
+        F.shiftright(byte(23), 6)
+        + F.shiftleft(byte(24), 2)
+        + F.shiftleft(byte(25).bitwiseAND(F.lit(0x0F)), 10)
+    )
+
+    fmt_sniffed = (
+        F.when(is_png, "png")
+        .when(is_jpeg, "jpeg")
+        .when(is_gif, "gif")
+        .when(is_bmp, "bmp")
+        .when(is_qnt, "qnt")
+        .when((n >= 16) & is_riff, "webp")
+    )
+    hdr_w = (
+        F.when(is_png, be32(17))
+        .when(is_gif, le16(7))
+        .when(is_bmp, F.abs(le32_signed(19)))
+        .when(is_qnt, be32(5))
+        .when(is_vp8l, vp8l_w)
+        .when(is_vp8x, F.lit(1) + le24(25))
+    )
+    hdr_h = (
+        F.when(is_png, be32(21))
+        .when(is_gif, le16(9))
+        .when(is_bmp, F.abs(le32_signed(23)))
+        .when(is_qnt, be32(9))
+        .when(is_vp8l, vp8l_h)
+        .when(is_vp8x, F.lit(1) + le24(28))
+    )
+    return df.select(
+        "*",
+        fmt_sniffed.alias("fmt_sniffed"),
+        hdr_w.cast("int").alias("hdr_w"),
+        hdr_h.cast("int").alias("hdr_h"),
+    )

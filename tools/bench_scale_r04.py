@@ -398,6 +398,61 @@ def thumb(cpus: int, n: int = 4000) -> dict:
     }
 
 
+def probe(cpus: int, n: int = 20000) -> dict:
+    """Metadata-integrity pass: JVM header probe
+    (multimodal.image_header_probe — substring/hex/conv expressions,
+    zero Python) vs the Arrow+decode kernel (decode_and_validate) over
+    the same mixed-format payload corpus, read from parquet (the
+    production shape — the probe's point is that it rides the scan).
+    The ratio is what a 10^10-row "does the metadata match the bytes"
+    audit saves by staying out of Python."""
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import (
+        decode_and_validate,
+        image_header_probe,
+    )
+
+    spark = get_spark(
+        app_name=f"probe-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    path = os.path.join(tempfile.gettempdir(), f"probe_corpus_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        payload_df(spark, n).write.mode("overwrite").parquet(path)
+    src = spark.read.parquet(path)
+    n_rows = src.count()
+    probe_df = image_header_probe(src).select(
+        F.count("*").alias("n"),
+        F.sum(
+            (
+                (F.col("fmt_sniffed") == F.col("fmt"))
+                & (F.col("hdr_w").isNull() | (F.col("hdr_w") == F.col("w")))
+            ).cast("long")
+        ).alias("consistent"),
+    )
+    decode_and_validate(src.limit(64)).count()  # python-worker warmup
+    probe_df.collect()  # codegen warmup
+    t0 = time.time()
+    row = probe_df.collect()[0]
+    probe_wall = time.time() - t0
+    t0 = time.time()
+    decode_and_validate(src, num_partitions=cpus * 2).filter(
+        F.col("decode_ok") == "ok"
+    ).count()
+    full_wall = time.time() - t0
+    spark.stop()
+    return {
+        "metric": "header_probe_vs_decode",
+        "cpus": cpus,
+        "n_rows": n_rows,
+        "consistent": int(row["consistent"]),
+        "probe_wall_s": round(probe_wall, 2),
+        "probe_rows_per_s": round(n_rows / probe_wall, 1),
+        "decode_wall_s": round(full_wall, 2),
+        "decode_rows_per_s": round(n_rows / full_wall, 1),
+        "speedup": round(full_wall / probe_wall, 2),
+    }
+
+
 def main():
     mode = sys.argv[1]
     if mode == "lsh-ingest":
@@ -418,6 +473,9 @@ def main():
     elif mode == "thumb":
         n = int(sys.argv[3]) if len(sys.argv) > 3 else 4000
         print(json.dumps(thumb(int(sys.argv[2]), n)))
+    elif mode == "probe":
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
+        print(json.dumps(probe(int(sys.argv[2]), n)))
     else:
         raise SystemExit(f"unknown mode {mode}")
 
