@@ -586,9 +586,12 @@ def _hamming_banded(df: DataFrame, id_col: str, hash_col: str, bounds) -> DataFr
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.expr(f"({hash_col} >> {start}) & {(1 << w) - 1}").alias(
-                            "byteval"
-                        ),
+                        # w == 64 (single-band layout, e.g. max_hamming=0
+                        # exact match): the mask literal 2^64-1 would be
+                        # DECIMAL, not LONG — mask with -1 (all bits set)
+                        F.expr(
+                            f"({hash_col} >> {start}) & {(1 << w) - 1 if w < 64 else -1}"
+                        ).alias("byteval"),
                     )
                     for j, start, w in bounds
                 ]

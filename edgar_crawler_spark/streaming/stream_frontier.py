@@ -132,3 +132,70 @@ def run_streaming_near_dup(
     )
     q.awaitTermination()
     return idx, emitted["pairs"]
+
+
+def run_streaming_image_near_dup(
+    spark: SparkSession,
+    payload_dir: str,
+    payload_schema: StructType,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    **index_kwargs,
+):
+    """The IMAGE-axis twin of :func:`run_streaming_near_dup`: crawled
+    payload files arrive → each micro-batch's perceptual hashes join
+    the persisted banded-Hamming index
+    (operators.dedup.IncrementalHammingIndex) → verified near-dup
+    pairs (batch × whole visual history, plus batch-internal) append
+    to a snapshot table.
+
+    If the stream carries raw ``bytes`` without a ``phash`` column,
+    each micro-batch is hashed on the fly through the DC-thumbnail
+    fast path (operators.multimodal.thumbnail_phash — no full decode;
+    rows whose thumbnail decode fails are skipped, the same
+    never-throw posture as the batch pass). Exactly-once pairs via the
+    batch-id token in the pairs manifest; replayed index appends are
+    neutralized inside ``add()`` — identical crash contract to the
+    text/LSH streaming leg. Returns (index, total_pairs_emitted)."""
+    from edgar_crawler_spark.frontier.state import SnapshotTable
+    from edgar_crawler_spark.operators.dedup import IncrementalHammingIndex
+
+    idx = IncrementalHammingIndex(spark, index_path, **index_kwargs)
+    pairs_tbl = SnapshotTable(pairs_path)
+    emitted = {"pairs": 0}
+    fields = (
+        StructType.fromDDL(payload_schema)
+        if isinstance(payload_schema, str)
+        else payload_schema
+    )
+    needs_hash = hash_col not in fields.fieldNames()
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        last = pairs_tbl.latest_metrics().get("batch_id", -1)
+        if batch_id <= last:
+            return
+        if needs_hash:
+            from edgar_crawler_spark.operators.multimodal import thumbnail_phash
+
+            batch = (
+                thumbnail_phash(batch)
+                .filter(F.col("decode_ok") == "ok")
+                .select(id_col, hash_col)
+            )
+        pairs = idx.add(batch, id_col=id_col, hash_col=hash_col)
+        n = pairs.count()
+        pairs_tbl.append(pairs, metrics={"pairs": n, "batch_id": batch_id})
+        emitted["pairs"] += n
+
+    stream = spark.readStream.schema(payload_schema).parquet(payload_dir)
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return idx, emitted["pairs"]
