@@ -1890,6 +1890,49 @@ def q_image_exif_metadata(spark, sf):
     )
 
 
+def q_image_header_probe(spark, sf):
+    """Scan-speed corpus integrity gate (operators/multimodal.py:
+    image_header_probe): magic-number sniff + fixed-offset header
+    dims as pure JVM expressions — zero Python, zero decode — then a
+    consistency verdict against the stored (fmt, w, h) metadata. At
+    10^10 crawled rows this is the only affordable way to ask "do the
+    bytes match the metadata"; flagged rows fall through to the real
+    decode kernel. ORACLE-CHECKED: the DuckDB twin regenerates the
+    fixture's expected fmt/dims from range() (pure functions of the
+    row index, fixtures/payload.py:make_payload_row), so the probe's
+    header parses are value-verified cross-engine for every container
+    the corpus carries (PNG/GIF/BMP/QNT/VP8L; JPEG dims stay NULL by
+    contract — variable SOFn offsets belong to the decode kernel)."""
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import image_header_probe
+
+    src = payload_df(spark, 1000).select("image_id", "bytes", "fmt", "w", "h")
+    out = image_header_probe(src)
+    consistent = (F.col("fmt_sniffed") == F.col("fmt")) & (
+        F.col("hdr_w").isNull()
+        | ((F.col("hdr_w") == F.col("w")) & (F.col("hdr_h") == F.col("h")))
+    )
+    return out.select(
+        "image_id", "fmt_sniffed", "hdr_w", "hdr_h", consistent.alias("consistent")
+    )
+
+
+SQL_IMAGE_HEADER = """
+SELECT printf('%010d-22-%06d', 100000 + i % 997, i) AS image_id,
+       CASE WHEN i % 3 = 0 THEN (CASE WHEN i % 21 = 0 THEN 'jpeg' ELSE 'qnt' END)
+            WHEN i % 11 = 4 THEN 'bmp'
+            WHEN i % 13 = 6 THEN 'gif'
+            WHEN i % 17 = 8 THEN 'webp'
+            ELSE 'png' END AS fmt_sniffed,
+       CASE WHEN i % 3 = 0 AND i % 21 = 0 THEN NULL
+            ELSE CAST(16 + (i % 3) * 8 AS INT) END AS hdr_w,
+       CASE WHEN i % 3 = 0 AND i % 21 = 0 THEN NULL
+            ELSE CAST(16 + (i % 5) * 4 AS INT) END AS hdr_h,
+       TRUE AS consistent
+FROM range(0, 1000) t(i)
+"""
+
+
 SQL_IMAGE_EXIF = """
 WITH gen AS (
   SELECT i, printf('%010d-22-%06d', 100000 + i % 997, i) AS image_id
@@ -2672,6 +2715,22 @@ def q_text_decontaminate(spark, sf):
     return text.decontamination_overlap(corpus, bench, n=3, threshold=0.8)
 
 
+def q_text_decontaminate_bloom(spark, sf):
+    """Scale twin of :func:`q_text_decontaminate`: the bench gram set
+    folds into sharded Bloom bitsets (bounded bytes at any bench size)
+    broadcast as a runtime prefilter; survivors hit the exact verify
+    join that kills every false positive — so the output contract is
+    IDENTICAL and the same oracle SQL applies. This is the shape that
+    survives a 10^8-gram eval-suite union where the broadcast-set
+    variant (`text_decontaminate`) exceeds executor memory."""
+    docs = t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return text.decontamination_overlap_bloom(
+        corpus, bench, n=3, threshold=0.8, num_shards=8
+    )
+
+
 SQL_TEXT_DECONTAMINATE = f"""
 WITH {_word_ngram_cte(3)},
 gd AS (SELECT DISTINCT doc_id, gram FROM g),
@@ -2870,6 +2929,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_cross_dup_ngrams": (q_text_cross_dup, SQL_TEXT_CROSS_DUP),
     "text_token_entropy": (q_text_entropy, SQL_TEXT_ENTROPY),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
+    "text_decontaminate_bloom": (q_text_decontaminate_bloom, SQL_TEXT_DECONTAMINATE),
     "text_winnowing_fingerprints": (q_text_winnowing, SQL_TEXT_WINNOWING),
     "text_tfidf_top_terms": (q_text_tfidf, SQL_TEXT_TFIDF),
     # new r04 rows, also inside the sampling window
@@ -2882,6 +2942,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "image_stats": (q_image_stats, None),
     "image_thumb_phash": (q_image_thumb_phash, None),
     "image_exif_metadata": (q_image_exif_metadata, SQL_IMAGE_EXIF),
+    "image_header_probe": (q_image_header_probe, SQL_IMAGE_HEADER),
     "image_thumb_near_dup": (q_image_thumb_near_dup, None),
     "pipeline_prep_corpus_v5": (q_pipeline_prep_corpus_v5, None),
     "image_hamming_index_pairs": (q_image_hamming_index_pairs, None),
