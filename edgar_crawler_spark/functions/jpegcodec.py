@@ -163,29 +163,44 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-_LUT_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
+_LUT_CACHE: dict[bytes, tuple[list[int], list[int], int]] = {}
+# Optimal per-image tables (the progressive encoder emits fresh ones
+# per scan) NEVER repeat across images, so the cache must be bounded —
+# unbounded it grows ~1 MB per distinct table and a long-lived Python
+# worker decoding 10^4+ images accumulates gigabytes (found as a 9×
+# per-row throughput cliff between 20k- and 200k-row decode passes).
+_LUT_CACHE_MAX = 128
 
 
-def _decode_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
-    """65536-entry prefix LUT: next-16-bits -> (symbol, code length).
-    Length 0 marks an invalid prefix. Cached per table spec."""
+def _decode_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int], int]:
+    """Prefix LUT sized to the table's max code length: next-16-bits
+    >> shift -> (symbol, code length); length 0 marks an invalid
+    prefix. Returns (sym, ln, shift). Depth 2^maxlen instead of a
+    fixed 2^16 makes the build ~2^(16-maxlen)× cheaper — decisive for
+    per-image optimal tables, which are built once and never reused
+    (small images carry few symbols, so maxlen is typically 6-11).
+    FIFO-capped cache (recurring K.3/encoder tables stay hot)."""
     key = bytes(bits) + bytes(vals)
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
-    sym = np.zeros(65536, np.int32)
-    ln = np.zeros(65536, np.int32)
+    maxlen = max((n for n in range(1, 17) if bits[n - 1]), default=1)
+    size = 1 << maxlen
+    sym = np.zeros(size, np.int32)
+    ln = np.zeros(size, np.int32)
     code, k = 0, 0
-    for length in range(1, 17):
+    for length in range(1, maxlen + 1):
         for _ in range(bits[length - 1]):
-            lo = code << (16 - length)
-            hi = (code + 1) << (16 - length)
+            lo = code << (maxlen - length)
+            hi = (code + 1) << (maxlen - length)
             sym[lo:hi] = vals[k]
             ln[lo:hi] = length
             code += 1
             k += 1
         code <<= 1
-    entry = (sym.tolist(), ln.tolist())
+    entry = (sym.tolist(), ln.tolist(), 16 - maxlen)
+    if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = entry
     return entry
 
@@ -481,14 +496,14 @@ def _decode_segment(
     try:
         for _ in range(n_mcus):
             for ci, comp in enumerate(comps):
-                dc_sym, dc_len = comp["dc_lut"]
-                ac_sym, ac_len = comp["ac_lut"]
+                dc_sym, dc_len, dc_sh = comp["dc_lut"]
+                ac_sym, ac_len, ac_sh = comp["ac_lut"]
                 for _b in range(comp["h"] * comp["v"]):
-                    w16 = windows[p]
-                    ln = dc_len[w16]
+                    i16 = windows[p] >> dc_sh
+                    ln = dc_len[i16]
                     if ln == 0:
                         raise ValueError("invalid DC Huffman code")
-                    s = dc_sym[w16]
+                    s = dc_sym[i16]
                     p += ln
                     if s:
                         raw = windows[p] >> (16 - s)
@@ -501,11 +516,11 @@ def _decode_segment(
                     blk[0] = preds[ci]
                     k = 1
                     while k < 64:
-                        w16 = windows[p]
-                        ln = ac_len[w16]
+                        i16 = windows[p] >> ac_sh
+                        ln = ac_len[i16]
                         if ln == 0:
                             raise ValueError("invalid AC Huffman code")
-                        sym = ac_sym[w16]
+                        sym = ac_sym[i16]
                         p += ln
                         if sym == 0:
                             break
@@ -546,14 +561,14 @@ def _decode_segment_dc(
     try:
         for _ in range(n_mcus):
             for ci, comp in enumerate(comps):
-                dc_sym, dc_len = comp["dc_lut"]
-                ac_sym, ac_len = comp["ac_lut"]
+                dc_sym, dc_len, dc_sh = comp["dc_lut"]
+                ac_sym, ac_len, ac_sh = comp["ac_lut"]
                 for _b in range(comp["h"] * comp["v"]):
-                    w16 = windows[p]
-                    ln = dc_len[w16]
+                    i16 = windows[p] >> dc_sh
+                    ln = dc_len[i16]
                     if ln == 0:
                         raise ValueError("invalid DC Huffman code")
-                    s = dc_sym[w16]
+                    s = dc_sym[i16]
                     p += ln
                     if s:
                         raw = windows[p] >> (16 - s)
@@ -565,11 +580,11 @@ def _decode_segment_dc(
                     out_dc[ci].append(preds[ci])
                     k = 1
                     while k < 64:
-                        w16 = windows[p]
-                        ln = ac_len[w16]
+                        i16 = windows[p] >> ac_sh
+                        ln = ac_len[i16]
                         if ln == 0:
                             raise ValueError("invalid AC Huffman code")
-                        sym = ac_sym[w16]
+                        sym = ac_sym[i16]
                         p += ln
                         if sym == 0:
                             break

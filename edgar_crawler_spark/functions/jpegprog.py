@@ -467,15 +467,15 @@ class _BitReader:
         self.p = 0
 
     def huff(self, lut) -> int:
-        sym, ln = lut
-        w16 = self.windows[self.p]
-        n = ln[w16]
+        sym, ln, sh = lut
+        i16 = self.windows[self.p] >> sh
+        n = ln[i16]
         if n == 0:
             raise ValueError("invalid Huffman code")
         self.p += n
         if self.p > self.nbits:
             raise ValueError("entropy data truncated")
-        return sym[w16]
+        return sym[i16]
 
     def receive(self, n: int) -> int:
         if n == 0:
