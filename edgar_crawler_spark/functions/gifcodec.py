@@ -59,29 +59,38 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
             nbits -= 8
 
     width = min_code_size + 1
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    # composite table keyed by (prefix code, next symbol) int pairs —
+    # single-symbol strings are their own codes implicitly, and the
+    # per-pixel bytes-concat allocations of the string-keyed form go
+    # away (the encode hot path; BENCH/BASELINE.md round-4 session-6)
+    table: dict[tuple[int, int], int] = {}
     next_code = eoi + 1
     emit(clear, width)
-    w = b""
-    for k in indices.tobytes():
-        wk = w + bytes([k])
-        if wk in table:
-            w = wk
+    seq = indices.tobytes()
+    w = -1
+    for k in seq:
+        if w < 0:
+            w = k
             continue
-        emit(table[w], width)
+        key = (w, k)
+        code = table.get(key)
+        if code is not None:
+            w = code
+            continue
+        emit(w, width)
         if next_code < 4096:
-            table[wk] = next_code
+            table[key] = next_code
             if next_code == (1 << width) and width < 12:
                 width += 1
             next_code += 1
         else:
             emit(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
+            table = {}
             next_code = eoi + 1
             width = min_code_size + 1
-        w = bytes([k])
-    if w:
-        emit(table[w], width)
+        w = k
+    if w >= 0:
+        emit(w, width)
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -94,18 +103,26 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     first-code-after-clear special case."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
-    weights = 1 << np.arange(12)
+    # 32-bit little-endian window per byte offset: a ≤12-bit code read
+    # is two shifts and a mask (the per-code numpy slice dot product
+    # here was the decode hot path; BENCH/BASELINE.md round-4
+    # session-6)
+    pad = np.frombuffer(data + b"\x00\x00\x00\x00", np.uint8).astype(np.uint32)
+    win_a = pad[:-3].copy()
+    win_a |= pad[1:-2] << np.uint32(8)
+    win_a |= pad[2:-1] << np.uint32(16)
+    win_a |= pad[3:] << np.uint32(24)
+    win = win_a.tolist()
     pos = 0
     width = min_code_size + 1
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     out = bytearray()
     prev: bytes | None = None
-    n_bits = len(bits)
+    n_bits = len(data) * 8
     while len(out) < n_pixels:
         if pos + width > n_bits:
             raise ValueError("GIF: LZW stream truncated")
-        code = int(bits[pos : pos + width] @ weights[:width])
+        code = (win[pos >> 3] >> (pos & 7)) & ((1 << width) - 1)
         pos += width
         if code == clear:
             table = [bytes([i]) for i in range(clear)] + [b"", b""]

@@ -71,23 +71,60 @@ _DIST_MAP = [
 # the DEFLATE convention VP8L follows)
 
 
+def _bitrev_arr(c: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized :func:`_bitrev` over an int64 array (fixed width n)."""
+    r = np.zeros_like(c)
+    for _ in range(n):
+        r = (r << 1) | (c & 1)
+        c = c >> 1
+    return r
+
+
+def _bitrev(c: int, n: int) -> int:
+    """Reverse the low n bits of c. An MSB-first prefix code written
+    into the LSB-first stream equals its bit-reversal written as one
+    LSB-first chunk — the trick that lets both the writer and the LUT
+    decoder treat codes as plain fixed chunks."""
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (c & 1)
+        c >>= 1
+    return r
+
+
 class _BitReader:
+    """LSB-first reader over a precomputed 32-bit little-endian window
+    per byte offset: any ≤24-bit field (VP8L's max is 15-bit prefix
+    codes / 14-bit dims) is two shifts and a mask instead of a per-bit
+    loop — the decode hot path found when the image-mixed frontier
+    loop regressed (see BENCH/BASELINE.md round-4 session-6)."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0  # bit position
+        pad = np.frombuffer(data + b"\x00\x00\x00\x00", np.uint8).astype(np.uint32)
+        win = pad[:-3].copy()
+        win |= pad[1:-2] << np.uint32(8)
+        win |= pad[2:-1] << np.uint32(16)
+        win |= pad[3:] << np.uint32(24)
+        self.win = win.tolist()  # list indexing beats numpy scalars here
+        self.nbytes = len(data)
 
     def bit(self) -> int:
         p = self.pos
-        if p >> 3 >= len(self.data):
+        if p >> 3 >= self.nbytes:
             raise ValueError("VP8L: bitstream truncated")
         self.pos = p + 1
-        return (self.data[p >> 3] >> (p & 7)) & 1
+        return (self.win[p >> 3] >> (p & 7)) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            v |= self.bit() << i
-        return v
+        if n == 0:
+            return 0
+        p = self.pos
+        if (p + n - 1) >> 3 >= self.nbytes:
+            raise ValueError("VP8L: bitstream truncated")
+        self.pos = p + n
+        return (self.win[p >> 3] >> (p & 7)) & ((1 << n) - 1)
 
 
 class _BitWriter:
@@ -105,9 +142,36 @@ class _BitWriter:
             self.n -= 8
 
     def code(self, c: int, n: int) -> None:
-        """Prefix-code bits go MSB-first."""
-        for i in range(n - 1, -1, -1):
-            self.bits((c >> i) & 1, 1)
+        """Prefix-code bits go MSB-first = bit-reversed LSB chunk."""
+        self.bits(_bitrev(c, n), n)
+
+    def bits_many(self, vals: list[int], lens: list[int]) -> None:
+        """Vectorized LSB-first packing of many (value, nbits) chunks
+        (values must already be bit-reversed where they encode
+        MSB-first prefix codes). The disjoint-OR scatter is the same
+        shape as the JPEG encoder's packer: chunk start offsets by
+        cumsum, each chunk ORed into up to 5 bytes with the unbuffered
+        ``np.bitwise_or.at`` (adjacent chunks share bytes)."""
+        if len(vals) == 0:
+            return
+        v = np.asarray(vals, np.uint64)
+        ln = np.asarray(lens, np.int64)
+        off = np.zeros(len(ln), np.int64)
+        np.cumsum(ln[:-1], out=off[1:])
+        off += self.n
+        total = self.n + int(ln.sum())
+        buf = np.zeros((total >> 3) + 9, np.uint8)
+        buf[0] = self.acc & 0xFF  # merge the current partial byte
+        sv = v << (off & 7).astype(np.uint64)
+        bpos = off >> 3
+        for j in range(5):  # ≤ (15|18 ebits) + 7 shift bits → ≤ 5 bytes
+            np.bitwise_or.at(
+                buf, bpos + j, ((sv >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.uint8)
+            )
+        nfull = total >> 3
+        self.out.extend(buf[:nfull].tobytes())
+        self.acc = int(buf[nfull]) if total & 7 else 0
+        self.n = total & 7
 
     def bytes(self) -> bytes:
         out = bytes(self.out) + (bytes([self.acc & 0xFF]) if self.n else b"")
@@ -140,28 +204,56 @@ def _canonical(lengths: list[int]) -> dict:
 
 
 class _Decoder:
-    """Per-bit canonical-code walker. A single-symbol code reads zero
-    bits, as the spec requires."""
+    """Prefix-LUT canonical-code reader sized to the code's max length
+    (≤15 per spec): one window peek + one table lookup per symbol,
+    instead of a per-bit walk. A single-symbol code reads zero bits,
+    as the spec requires. Table rows for each symbol are its
+    bit-reversed code plus every higher-bit completion (stride 2^len),
+    so the LSB-first stream window indexes directly."""
 
     def __init__(self, lengths: list[int]) -> None:
         live = [s for s, ln in enumerate(lengths) if ln]
         if not live:
             raise ValueError("VP8L: empty prefix code")
         self.single = live[0] if len(live) == 1 else None
-        self.map = {(ln, c): s for s, (c, ln) in _canonical(lengths).items()}
-        self.max_len = max(ln for ln in lengths)
+        if self.single is not None:
+            return
+        maxlen = max(ln for ln in lengths)
+        self.mask = (1 << maxlen) - 1
+        sym_a = np.zeros(1 << maxlen, np.int32)
+        ln_a = np.zeros(1 << maxlen, np.int32)
+        # grouped by code length: one broadcasted scatter per distinct
+        # length (per-symbol np.arange here was the decode hot spot)
+        by_len: dict[int, tuple[list[int], list[int]]] = {}
+        for s, (c, ln) in _canonical(lengths).items():
+            g = by_len.setdefault(ln, ([], []))
+            g[0].append(s)
+            g[1].append(c)
+        for ln, (syms, cods) in by_len.items():
+            revs = _bitrev_arr(np.asarray(cods, np.int64), ln)
+            idx = revs[:, None] + (
+                np.arange(1 << (maxlen - ln), dtype=np.int64)[None, :] << ln
+            )
+            sym_a[idx.ravel()] = np.repeat(
+                np.asarray(syms, np.int32), 1 << (maxlen - ln)
+            )
+            ln_a[idx.ravel()] = ln
+        self.sym = sym_a.tolist()
+        self.ln = ln_a.tolist()
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code, ln = 0, 0
-        while ln <= self.max_len:
-            code = (code << 1) | br.bit()
-            ln += 1
-            sym = self.map.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("VP8L: invalid prefix code in stream")
+        p = br.pos
+        w = (br.win[p >> 3] >> (p & 7)) & self.mask
+        ln = self.ln[w]
+        if ln == 0:
+            raise ValueError("VP8L: invalid prefix code in stream")
+        p += ln
+        if (p - 1) >> 3 >= br.nbytes:
+            raise ValueError("VP8L: bitstream truncated")
+        br.pos = p
+        return self.sym[w]
 
 
 def _limited_lengths(freq: dict[int, int], alphabet: int, cap: int = 15) -> list[int]:
@@ -174,17 +266,38 @@ def _limited_lengths(freq: dict[int, int], alphabet: int, cap: int = 15) -> list
     if len(live) == 1:
         lengths[live[0][1]] = 1
         return lengths
-    import heapq
-
-    heap = [(f, [s]) for f, s in live]
-    heapq.heapify(heap)
-    depth = dict.fromkeys((s for _, s in live), 0)
-    while len(heap) > 1:
-        f1, s1 = heapq.heappop(heap)
-        f2, s2 = heapq.heappop(heap)
-        for s in s1 + s2:
-            depth[s] += 1
-        heapq.heappush(heap, (f1 + f2, s1 + s2))
+    # two-queue Huffman (leaves pre-sorted; merged nodes are produced
+    # in nondecreasing frequency order, so two pointers replace a
+    # heap) with parent-pointer depth propagation — the heapq variant
+    # carried each node's full symbol list through every merge, O(n²)
+    # on the ~270-live-symbol tables noise pixels produce
+    live.sort()
+    n_live = len(live)
+    freqs = [f for f, _ in live]
+    node_f: list[int] = []
+    child: list[tuple[int, int]] = []  # internal k ← ids (leaf<n, else n+idx)
+    i = j = 0
+    for k in range(n_live - 1):
+        ids = []
+        for _ in range(2):
+            if j < len(child) and (i >= n_live or node_f[j] <= freqs[i]):
+                ids.append(n_live + j)
+                j += 1
+            else:
+                ids.append(i)
+                i += 1
+        a, b = ids
+        fa = freqs[a] if a < n_live else node_f[a - n_live]
+        fb = freqs[b] if b < n_live else node_f[b - n_live]
+        node_f.append(fa + fb)
+        child.append((a, b))
+    depth_arr = [0] * (2 * n_live - 1)
+    for k in range(n_live - 2, -1, -1):
+        a, b = child[k]
+        d = depth_arr[n_live + k] + 1
+        depth_arr[a] = d
+        depth_arr[b] = d
+    depth = {live[t][1]: depth_arr[t] for t in range(n_live)}
     bl_count = [0] * (max(depth.values()) + 1)
     for s, d in depth.items():
         bl_count[d] += 1
@@ -351,12 +464,18 @@ def _write_code_lengths(bw: _BitWriter, lengths: list[int]) -> None:
     bw.bits(0, 1)  # no max_symbol early-out
     codes = _canonical(clc)
     single = sum(1 for ln in clc if ln) == 1
+    rcodes = {t: (_bitrev(c, ln), ln) for t, (c, ln) in codes.items()}
+    vals: list[int] = []
+    lens_: list[int] = []
     for t, extra, ebits in tokens:
         if not single:
-            c, ln = codes[t]
-            bw.code(c, ln)
+            r, ln = rcodes[t]
+            vals.append(r)
+            lens_.append(ln)
         if ebits:
-            bw.bits(extra, ebits)
+            vals.append(extra)
+            lens_.append(ebits)
+    bw.bits_many(vals, lens_)
 
 
 # --------------------------------------------------------------------------
@@ -688,6 +807,14 @@ class _SymbolStream:
     def literal(self, a: int, r: int, g: int, b: int) -> None:
         self.tokens.append(("lit", a, r, g, b))
 
+    def lit_block(self, argb_rows: np.ndarray) -> None:
+        """A maximal run of literal pixels as ONE token carrying the
+        (m, 4) ARGB array — histogrammed with bincount and emitted as
+        array-mapped code chunks (the per-pixel tuple path stays for
+        the color-cache mode, whose state is inherently sequential)."""
+        if len(argb_rows):
+            self.tokens.append(("lits", argb_rows))
+
     def cache_hit(self, index: int) -> None:
         self.tokens.append(("cache", index))
 
@@ -695,35 +822,45 @@ class _SymbolStream:
         self.tokens.append(("ref", length, dist_code))
 
     def _prepare(self, bw: _BitWriter):
-        """Histogram the tokens, write the five code-length tables, and
-        return (codes, single) for emission."""
-        gf: dict[int, int] = {}
-        rf: dict[int, int] = {}
-        bf: dict[int, int] = {}
-        af: dict[int, int] = {}
-        df: dict[int, int] = {}
-
-        def bump(d, k):
-            d[k] = d.get(k, 0) + 1
+        """Histogram the tokens (bincount for literal blocks), write
+        the five code-length tables, and return (codes, single) for
+        emission."""
+        gf_a = np.zeros(_green_alphabet(self.cache_bits), np.int64)
+        rf_a = np.zeros(256, np.int64)
+        bf_a = np.zeros(256, np.int64)
+        af_a = np.zeros(256, np.int64)
+        df_a = np.zeros(40, np.int64)
 
         for tok in self.tokens:
-            if tok[0] == "lit":
+            if tok[0] == "lits":
+                arr = tok[1]
+                af_a += np.bincount(arr[:, 0], minlength=256)
+                rf_a += np.bincount(arr[:, 1], minlength=256)
+                gf_a[:256] += np.bincount(arr[:, 2], minlength=256)
+                bf_a += np.bincount(arr[:, 3], minlength=256)
+            elif tok[0] == "lit":
                 _, a, r, g, b = tok
-                bump(gf, g)
-                bump(rf, r)
-                bump(bf, b)
-                bump(af, a)
+                gf_a[g] += 1
+                rf_a[r] += 1
+                bf_a[b] += 1
+                af_a[a] += 1
             elif tok[0] == "cache":
-                bump(gf, 256 + 24 + tok[1])
+                gf_a[256 + 24 + tok[1]] += 1
             else:
                 _, length, dist_code = tok
-                bump(gf, 256 + _prefix_encode(length)[0])
-                bump(df, _prefix_encode(dist_code)[0])
+                gf_a[256 + _prefix_encode(length)[0]] += 1
+                df_a[_prefix_encode(dist_code)[0]] += 1
+
+        def freq(acc):
+            return {int(i): int(acc[i]) for i in np.flatnonzero(acc)}
+
+        gf, rf, bf, af, df = (freq(a) for a in (gf_a, rf_a, bf_a, af_a, df_a))
         if not gf:
-            bump(gf, 0)
-        for f in (rf, bf, af, df):
-            if not f:
-                bump(f, 0)
+            gf = {0: 1}
+        rf = rf or {0: 1}
+        bf = bf or {0: 1}
+        af = af or {0: 1}
+        df = df or {0: 1}
         lens = {
             "g": _limited_lengths(gf, _green_alphabet(self.cache_bits)),
             "r": _limited_lengths(rf, 256),
@@ -739,14 +876,58 @@ class _SymbolStream:
 
     def write(self, bw: _BitWriter) -> None:
         codes, single = self._prepare(bw)
+        # Bit-reversed array code tables: literal blocks emit as
+        # array-mapped (value, nbits) chunks and the WHOLE token
+        # stream packs in one vectorized bits_many call (the per-bit
+        # loop here was the encode hot path; BENCH/BASELINE.md
+        # round-4 session-6).
+        tabs = {}
+        for k, v in codes.items():
+            alph = (
+                _green_alphabet(self.cache_bits)
+                if k == "g"
+                else (40 if k == "d" else 256)
+            )
+            cv = np.zeros(alph, np.uint64)
+            cl = np.zeros(alph, np.int64)
+            for s, (c, ln) in v.items():
+                cv[s] = _bitrev(c, ln)
+                cl[s] = ln
+            tabs[k] = (cv, cl)
+        parts_v: list[np.ndarray] = []
+        parts_l: list[np.ndarray] = []
+        sv: list[int] = []
+        sl: list[int] = []
+
+        def flush_scalars():
+            if sv:
+                parts_v.append(np.asarray(sv, np.uint64))
+                parts_l.append(np.asarray(sl, np.int64))
+                sv.clear()
+                sl.clear()
 
         def emit(k, sym):
             if not single[k]:
                 c, ln = codes[k][sym]
-                bw.code(c, ln)
+                sv.append(_bitrev(c, ln))
+                sl.append(ln)
 
         for tok in self.tokens:
-            if tok[0] == "lit":
+            if tok[0] == "lits":
+                flush_scalars()
+                arr = tok[1]
+                cols_v, cols_l = [], []
+                for k, ch in (("g", 2), ("r", 1), ("b", 3), ("a", 0)):
+                    if single[k]:
+                        continue
+                    cv, cl = tabs[k]
+                    syms = arr[:, ch]
+                    cols_v.append(cv[syms])
+                    cols_l.append(cl[syms])
+                if cols_v:
+                    parts_v.append(np.stack(cols_v, 1).ravel())
+                    parts_l.append(np.stack(cols_l, 1).ravel())
+            elif tok[0] == "lit":
                 _, a, r, g, b = tok
                 emit("g", g)
                 emit("r", r)
@@ -759,11 +940,16 @@ class _SymbolStream:
                 sym, extra, ebits = _prefix_encode(length)
                 emit("g", 256 + sym)
                 if ebits:
-                    bw.bits(extra, ebits)
+                    sv.append(extra & ((1 << ebits) - 1))
+                    sl.append(ebits)
                 sym, extra, ebits = _prefix_encode(dist_code)
                 emit("d", sym)
                 if ebits:
-                    bw.bits(extra, ebits)
+                    sv.append(extra & ((1 << ebits) - 1))
+                    sl.append(ebits)
+        flush_scalars()
+        if parts_v:
+            bw.bits_many(np.concatenate(parts_v), np.concatenate(parts_l))
 
 
 def _tokenize(
@@ -780,6 +966,30 @@ def _tokenize(
     stream = _SymbolStream(cache_bits)
     cache = [None] * (1 << cache_bits) if cache_bits else None
     dist1_code = _SHORT_CODE[(1, 0)] if short_codes else 1 + 120
+
+    if cache is None:
+        # vectorized path (no sequential cache state): maximal
+        # repeat-runs become dist-1 backrefs, everything between is
+        # one literal block per span
+        if not use_lz77 or n <= 1:
+            stream.lit_block(flat)
+            return stream
+        member = np.zeros(n, bool)
+        member[1:] = (flat[1:] == flat[:-1]).all(1)
+        if not member.any():
+            stream.lit_block(flat)
+            return stream
+        bounds = [0, *(np.flatnonzero(np.diff(member.astype(np.int8))) + 1).tolist(), n]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if member[a]:
+                left = b - a
+                while left > 0:
+                    chunk = min(left, 4096)
+                    stream.backref(chunk, dist1_code)
+                    left -= chunk
+            else:
+                stream.lit_block(flat[a:b])
+        return stream
 
     def cache_key(px):
         v = (int(px[0]) << 24) | (int(px[1]) << 16) | (int(px[2]) << 8) | int(px[3])
