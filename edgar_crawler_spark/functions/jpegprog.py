@@ -68,23 +68,29 @@ def _build_huffman_table(freq: dict[int, int]) -> tuple[list[int], list[int]]:
     pseudo-symbol reserves the all-ones codeword as the spec requires."""
     if not freq:
         freq = {0: 1}
-    f = [0] * 257
+    f = np.zeros(257, np.int64)
     for s, c in freq.items():
         f[s] = c
     f[256] = 1  # reserve the all-1s code
     codesize = [0] * 257
     others = [-1] * 257
+    # K.2's linear min-pair scan, vectorized with EXACT tie semantics
+    # (v1 = last argmin, v2 = last argmin of the rest — fuzz-verified
+    # against the literal scan; the 257-wide Python loop per merge was
+    # ~30% of progressive encode)
     while True:
-        v1 = v2 = -1
-        m1 = m2 = 1 << 60
-        for i in range(257):
-            if f[i] and f[i] <= m1:
-                m2, v2 = m1, v1
-                m1, v1 = f[i], i
-            elif f[i] and f[i] <= m2:
-                m2, v2 = f[i], i
-        if v2 < 0:
+        nz = np.flatnonzero(f)
+        if nz.size < 2:
             break
+        vals = f[nz]
+        m1 = vals.min()
+        v1 = int(nz[np.nonzero(vals == m1)[0][-1]])
+        keep = f[v1]
+        f[v1] = 0
+        nz2 = np.flatnonzero(f)
+        vals2 = f[nz2]
+        v2 = int(nz2[np.nonzero(vals2 == vals2.min())[0][-1]])
+        f[v1] = keep
         f[v1] += f[v2]
         f[v2] = 0
         codesize[v1] += 1
@@ -149,6 +155,26 @@ class _ScanEmitter:
         if n and not self.counting:
             self.vals.append(v)
             self.nbits.append(n)
+
+    def record_tokens(self):
+        """Counting mode + emission recording: the scan functions run
+        ONCE; the token list replays against the Huffman code built
+        from the counted frequencies (:func:`_replay_bytes`). The
+        second full pass over every block/coefficient was ~40% of
+        progressive-encode wall."""
+        self.counting = True
+        self.tokens: list[tuple] = []  # (id(freq), sym, -1) | (None, v, n)
+        self.emit = self._emit_rec  # type: ignore[method-assign]
+        self.emit_symbol = self._emit_symbol_rec  # type: ignore[method-assign]
+        return self
+
+    def _emit_rec(self, v: int, n: int) -> None:
+        if n:
+            self.tokens.append((None, v, n))
+
+    def _emit_symbol_rec(self, code, sym: int) -> None:
+        code[sym] = code.get(sym, 0) + 1
+        self.tokens.append((id(code), sym, -1))
 
     def emit_symbol(self, code, sym: int) -> None:
         """``code``: {sym: (codeword, len)} in emit mode, a frequency
@@ -399,9 +425,31 @@ def encode_jpeg_progressive(
     if ri:
         out.append(b"\xff\xdd" + struct.pack(">HH", 4, ri))
 
-    def scan_count(chunks, run) -> None:
+    def scan_record(chunks, run) -> list[list[tuple]]:
+        recs = []
         for chunk in chunks:
-            run(chunk, _ScanEmitter(counting=True))
+            em = _ScanEmitter().record_tokens()
+            run(chunk, em)
+            recs.append(em.tokens)
+        return recs
+
+    def replay_bytes(recs, code_map) -> bytes:
+        parts = []
+        for i, tokens in enumerate(recs):
+            vals: list[int] = []
+            nbits: list[int] = []
+            for fid, a, b in tokens:
+                if b == -1:
+                    c, ln = code_map[fid][a]
+                    vals.append(c)
+                    nbits.append(ln)
+                else:
+                    vals.append(a)
+                    nbits.append(b)
+            if i:
+                parts.append(_rst(i - 1))
+            parts.append(_pack_bits(vals, nbits))
+        return b"".join(parts)
 
     def scan_bytes(chunks, run) -> bytes:
         parts = []
@@ -418,28 +466,27 @@ def encode_jpeg_progressive(
     # 1. DC first, Al=1, all components (tables: 0 for luma, 1 for chroma)
     freqs = {0: {}, 1: {}}
     cnt = {ci: freqs[0 if ci == 0 else 1] for ci in range(ncomp)}
-    scan_count(dc_chunks, lambda c, em: _encode_dc_first(c, range(ncomp), cnt, 1, em))
+    recs = scan_record(dc_chunks, lambda c, em: _encode_dc_first(c, range(ncomp), cnt, 1, em))
     dc_tbls = {0: _build_huffman_table(freqs[0])}
     out.append(_dht_segment(0, 0, *dc_tbls[0]))
     if ncomp > 1:
         dc_tbls[1] = _build_huffman_table(freqs[1])
         out.append(_dht_segment(0, 1, *dc_tbls[1]))
-    dc_codes = {ci: _canonical_codes(*dc_tbls[0 if ci == 0 else 1]) for ci in range(ncomp)}
+    tbl_codes = {t: _canonical_codes(*v) for t, v in dc_tbls.items()}
     out.append(_sos_header(all_ids, 0, 0, 0, 1))
     out.append(
-        scan_bytes(dc_chunks, lambda c, em: _encode_dc_first(c, range(ncomp), dc_codes, 1, em))
+        replay_bytes(recs, {id(f): tbl_codes[t] for t, f in freqs.items() if t in tbl_codes})
     )
 
     def ac_scan(ci: int, encode_fn, ss: int, se: int, ah: int, al: int) -> None:
         ta = 0 if ci == 0 else 1
         chunks = _chunked(list(ac_blocks(ci)), ri)
         freq: dict[int, int] = {}
-        scan_count(chunks, lambda c, em: encode_fn(c, freq, ss, se, al, em))
+        recs = scan_record(chunks, lambda c, em: encode_fn(c, freq, ss, se, al, em))
         bits, vals = _build_huffman_table(freq)
         out.append(_dht_segment(1, ta, bits, vals))
         out.append(_sos_header([(ci + 1, 0, ta)], ss, se, ah, al))
-        code = _canonical_codes(bits, vals)
-        out.append(scan_bytes(chunks, lambda c, em: encode_fn(c, code, ss, se, al, em)))
+        out.append(replay_bytes(recs, {id(freq): _canonical_codes(bits, vals)}))
 
     # 2. AC first per component, band 1..63, Al=1
     for ci in range(ncomp):
