@@ -1917,6 +1917,30 @@ def q_image_header_probe(spark, sf):
     )
 
 
+def q_image_similarity_topk(spark, sf):
+    """Content-based image retrieval end-to-end (operators/
+    multimodal.py:image_similarity_topk): decode → 64-bin joint-RGB
+    color embedding (the model-free CBIR baseline; a learned encoder
+    is a kernel swap — the ANN plumbing is identical) → exact cosine
+    top-3. Queries are engineered lossy twins (same pixels, QNT
+    re-encode) of four corpus rows; each must retrieve its original
+    at rank 1. Rows-only (DuckDB cannot decode); the ranking
+    contract is pinned by tests/test_image_similarity.py."""
+    from edgar_crawler_spark.fixtures.payload import payload_df, reference_pixels
+    from edgar_crawler_spark.functions.imaging import encode_image
+    from edgar_crawler_spark.operators.multimodal import image_similarity_topk
+
+    src = payload_df(spark, 400).select("image_id", "bytes")
+    twin_rows = [
+        (f"twin-{i:06d}", bytearray(encode_image(reference_pixels(i), "qnt")))
+        for i in (10, 30, 50, 70)  # bounded driver-side: 4 tiny encodes
+    ]
+    twins = spark.createDataFrame(twin_rows, ["image_id", "bytes"])
+    return image_similarity_topk(
+        src.unionByName(twins), [t for t, _ in twin_rows], k=3
+    )
+
+
 SQL_IMAGE_HEADER = """
 SELECT printf('%010d-22-%06d', 100000 + i % 997, i) AS image_id,
        CASE WHEN i % 3 = 0 THEN (CASE WHEN i % 21 = 0 THEN 'jpeg' ELSE 'qnt' END)
@@ -2943,6 +2967,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "image_thumb_phash": (q_image_thumb_phash, None),
     "image_exif_metadata": (q_image_exif_metadata, SQL_IMAGE_EXIF),
     "image_header_probe": (q_image_header_probe, SQL_IMAGE_HEADER),
+    "image_similarity_topk": (q_image_similarity_topk, None),
     "image_thumb_near_dup": (q_image_thumb_near_dup, None),
     "pipeline_prep_corpus_v5": (q_pipeline_prep_corpus_v5, None),
     "image_hamming_index_pairs": (q_image_hamming_index_pairs, None),

@@ -919,3 +919,98 @@ def image_header_probe(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         hdr_w.cast("int").alias("hdr_w"),
         hdr_h.cast("int").alias("hdr_h"),
     )
+
+
+IMAGE_EMB_FIELDS = [
+    StructField("embedding", ArrayType(DoubleType())),
+    StructField("emb_ok", StringType()),  # ok | <error class>
+]
+
+
+def image_embeddings(
+    df: DataFrame, bytes_col: str = "bytes", bins: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Model-free visual embedding: the joint bins³ RGB histogram,
+    L2-normalized (64-dim at bins=4) — the classic color-signature
+    baseline for content-based image retrieval. The point is the
+    PLUMBING contract: downstream ANN (brute/LSH/IVF), SemDeDup, and
+    the persisted index family consume the ``embedding`` column
+    unchanged, so swapping in a learned encoder on a GPU cluster is a
+    kernel swap, not a pipeline change. Per-row never-throw error
+    recording; passthrough columns; explicit repartition (AQE
+    coalescing exemption), same as every kernel in this module."""
+    emb_names = {f.name for f in IMAGE_EMB_FIELDS}
+    passthrough = [f for f in df.schema.fields if f.name not in emb_names]
+    out_schema = StructType(passthrough + IMAGE_EMB_FIELDS)
+    keep = [f.name for f in passthrough]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(num_partitions)
+    shift = 8 - (bins - 1).bit_length()  # px >> shift ∈ [0, bins)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from edgar_crawler_spark.functions.imaging import decode_image
+
+        for pdf in batches:
+            embs, oks = [], []
+            for data in pdf[bytes_col]:
+                try:
+                    px = decode_image(bytes(data)) >> shift
+                    idx = (
+                        px[:, :, 0].astype(np.int64) * bins * bins
+                        + px[:, :, 1] * bins
+                        + px[:, :, 2]
+                    )
+                    h = np.bincount(idx.ravel(), minlength=bins**3).astype(np.float64)
+                    n = np.linalg.norm(h)
+                    embs.append((h / n if n else h).tolist())
+                    oks.append("ok")
+                except Exception as e:
+                    embs.append(None)
+                    oks.append(type(e).__name__)
+            out = pdf[keep].copy()
+            out["embedding"] = embs
+            out["emb_ok"] = oks
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def image_similarity_topk(
+    payload: DataFrame,
+    query_ids: list[str],
+    k: int = 3,
+    bins: int = 4,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Content-based image retrieval end-to-end: decode → color
+    embedding → exact cosine top-k of each query image against the
+    corpus (JVM higher-order aggregate for the dot product — the
+    labeled exact baseline; the scale path is the same embedding
+    column through the LSH/IVF operators). Returns
+    (query_id, neighbor_id, rnk, cos)."""
+    from pyspark.sql import Window
+
+    from edgar_crawler_spark.operators.similarity import cosine
+
+    emb = (
+        image_embeddings(payload.select(id_col, "bytes"), bins=bins)
+        .filter(F.col("emb_ok") == "ok")
+        .select(id_col, "embedding")
+        .localCheckpoint(eager=False)  # two consumers below
+    )
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos", 4).alias("cos"))
+    )
