@@ -56,3 +56,31 @@ def test_embedding_contract(spark):
     assert abs(sum(v * v for v in ok.embedding) - 1.0) < 1e-9  # L2-normalized
     bad = out["poison"]
     assert bad.emb_ok != "ok" and bad.embedding is None
+
+
+def test_image_embeddings_through_persisted_ivf(spark, tmp_path):
+    """The interchange claim, proven: the image-derived embedding
+    column flows through the persisted IVF index unchanged — ingest
+    the corpus, serve the lossy twins, originals come back at rank 1
+    (nprobe = all cells ⇒ exact)."""
+    import pyspark.sql.functions as F
+
+    from edgar_crawler_spark.operators.similarity import IncrementalIVFIndex
+
+    emb = image_embeddings(_corpus(spark)).filter(F.col("emb_ok") == "ok")
+    # numeric vec ids: imgNN → NN, twinNN → 100 + NN
+    vec_id = F.when(
+        F.col("image_id").startswith("twin"),
+        F.substring("image_id", 5, 2).cast("long") + 100,
+    ).otherwise(F.substring("image_id", 4, 2).cast("long"))
+    emb = emb.select(vec_id.alias("vec_id"), "embedding")
+    idx = IncrementalIVFIndex(spark, str(tmp_path / "ivf"), n_cells=4, dim=64)
+    idx.add(emb)
+    got = {
+        r.query_id: r
+        for r in idx.topk(
+            emb.filter(F.col("vec_id") >= 100), k=1, nprobe=4
+        ).collect()
+    }
+    assert got[105].neighbor_id == 5 and got[105].cos > 0.99
+    assert got[111].neighbor_id == 11 and got[111].cos > 0.98
