@@ -216,6 +216,10 @@ def decode_image(data: bytes) -> np.ndarray:
         from edgar_crawler_spark.functions.webpcodec import decode_webp
 
         return decode_webp(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from edgar_crawler_spark.functions.tiffcodec import decode_tiff
+
+        return decode_tiff(data)
     raise ValueError("unknown image container")
 
 
@@ -291,6 +295,8 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 

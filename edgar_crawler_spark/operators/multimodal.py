@@ -881,6 +881,10 @@ def image_header_probe(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         F.substring(b, 13, 4) == F.lit(b"VP8L")
     ) & (byte(21) == 0x2F)
     is_vp8x = (n >= 30) & is_riff & (F.substring(b, 13, 4) == F.lit(b"VP8X"))
+    is_tiff = (n >= 8) & (
+        (F.substring(b, 1, 4) == F.lit(b"II*\x00"))
+        | (F.substring(b, 1, 4) == F.lit(b"MM\x00*"))
+    )
 
     vp8l_w = F.lit(1) + (byte(22) + F.shiftleft(byte(23).bitwiseAND(F.lit(0x3F)), 8))
     vp8l_h = F.lit(1) + (
@@ -896,6 +900,9 @@ def image_header_probe(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .when(is_bmp, "bmp")
         .when(is_qnt, "qnt")
         .when((n >= 16) & is_riff, "webp")
+        # TIFF dims live in IFD tags at variable offsets — sniffed,
+        # dims NULL, same contract as JPEG (the decode kernel's job)
+        .when(is_tiff, "tiff")
     )
     hdr_w = (
         F.when(is_png, be32(17))

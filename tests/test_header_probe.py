@@ -111,3 +111,12 @@ def test_plan_is_python_free(spark):
     plan = image_header_probe(df)._jdf.queryExecution().executedPlan().toString()
     for marker in ("Python", "MapInPandas", "ArrowEval", "BatchEval"):
         assert marker not in plan, marker
+
+
+def test_tiff_sniffed_dims_null(spark):
+    from edgar_crawler_spark.functions.tiffcodec import encode_tiff
+
+    px = _rgb(12, 9)
+    got = _probe(spark, [("t", bytearray(encode_tiff(px)))])
+    r = got["t"]
+    assert r.fmt_sniffed == "tiff" and r.hdr_w is None and r.hdr_h is None
