@@ -482,6 +482,84 @@ def extract_jpeg_exif(data: bytes) -> dict | None:
 # Dispatch
 
 
+_TIFF_PII_TAGS = {
+    0x010F: "Make",
+    0x0110: "Model",
+    0x0112: "Orientation",  # parity with the JPEG scrub (whole APP1)
+    0x0131: "Software",
+    0x0132: "DateTime",
+    0x013B: "Artist",
+    0x8298: "Copyright",
+    0x8769: "ExifIFD",
+    0x8825: "GPS",
+}
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def strip_tiff_metadata(data: bytes) -> tuple[bytes, list[str]]:
+    """In-place IFD surgery for TIFF (which IS the EXIF container, so
+    unlike JPEG there is no segment to drop): PII entries are removed
+    from IFD0 (surviving entries repack, the shrunk table's tail
+    zero-pads — dead space is legal TIFF), their out-of-line value
+    bytes are zeroed so nothing readable survives in the gap, and
+    GPS/EXIF sub-IFD pointers zero the whole pointed block including
+    ITS out-of-line values. Strip offsets are absolute and untouched;
+    output length equals input length."""
+    if len(data) < 8 or data[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF")
+    e = "<" if data[:2] == b"II" else ">"
+    buf = bytearray(data)
+    (ifd0,) = struct.unpack(e + "I", data[4:8])
+    if ifd0 + 2 > len(data):
+        return bytes(buf), []
+
+    def _zero(off: int, nbytes: int) -> None:
+        lo = max(0, off)
+        hi = min(len(buf), off + nbytes)
+        if hi > lo:
+            buf[lo:hi] = b"\x00" * (hi - lo)
+
+    def _zero_ifd(at: int, depth: int) -> None:
+        if depth > 2 or at + 2 > len(buf):
+            return
+        (n,) = struct.unpack(e + "H", data[at : at + 2])
+        for i in range(n):
+            p = at + 2 + 12 * i
+            if p + 12 > len(buf):
+                break
+            _tag, typ, cnt = struct.unpack(e + "HHI", data[p : p + 8])
+            nb = _TIFF_TYPE_SIZES.get(typ, 1) * cnt
+            if nb > 4:
+                (off,) = struct.unpack(e + "I", data[p + 8 : p + 12])
+                _zero(off, nb)
+        _zero(at, 2 + 12 * n + 4)
+
+    (n,) = struct.unpack(e + "H", data[ifd0 : ifd0 + 2])
+    removed: list[str] = []
+    keep: list[bytes] = []
+    for i in range(n):
+        p = ifd0 + 2 + 12 * i
+        if p + 12 > len(data):
+            break
+        tag, typ, cnt = struct.unpack(e + "HHI", data[p : p + 8])
+        if tag not in _TIFF_PII_TAGS:
+            keep.append(data[p : p + 12])
+            continue
+        removed.append(_TIFF_PII_TAGS[tag])
+        nb = _TIFF_TYPE_SIZES.get(typ, 1) * cnt
+        if tag in (0x8769, 0x8825):
+            (off,) = struct.unpack(e + "I", data[p + 8 : p + 12])
+            _zero_ifd(off, 1)
+        elif nb > 4:
+            (off,) = struct.unpack(e + "I", data[p + 8 : p + 12])
+            _zero(off, nb)
+    nxt = data[ifd0 + 2 + 12 * n : ifd0 + 6 + 12 * n]
+    new = struct.pack(e + "H", len(keep)) + b"".join(keep) + nxt
+    old_size = 2 + 12 * n + 4
+    buf[ifd0 : ifd0 + old_size] = new + b"\x00" * (old_size - len(new))
+    return bytes(buf), removed
+
+
 def strip_image_metadata(data: bytes) -> tuple[bytes, list[str]]:
     """Magic-byte dispatch → (scrubbed bytes, removed segment labels).
     Containers with no metadata concept (QNT stand-in, BMP's fixed
@@ -494,6 +572,8 @@ def strip_image_metadata(data: bytes) -> tuple[bytes, list[str]]:
         return strip_gif_metadata(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return strip_webp_metadata(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return strip_tiff_metadata(data)
     if data[:2] == b"BM" or data[:4] == b"QNT1":
         return data, []
     raise ValueError("unknown image container")

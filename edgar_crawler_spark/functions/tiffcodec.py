@@ -302,10 +302,17 @@ def encode_tiff(
     compression: str = "packbits",
     rows_per_strip: int = 0,
     predictor: bool = False,
+    make: str | None = None,
+    model: str | None = None,
+    datetime: str | None = None,
+    orientation: int | None = None,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → baseline TIFF bytes (little-endian).
     ``compression``: none | packbits | lzw; ``predictor`` applies
-    horizontal differencing before LZW (the standard pairing)."""
+    horizontal differencing before LZW (the standard pairing).
+    ``make``/``model``/``datetime``/``orientation`` write the native
+    IFD0 metadata tags scanned-photo TIFFs carry (TIFF is the EXIF
+    container — functions.metadata.parse_exif reads these directly)."""
     if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("expected (h, w, 3) uint8")
     comp_id = {"none": 1, "packbits": 32773, "lzw": 5}.get(compression)
@@ -339,16 +346,28 @@ def encode_tiff(
         packed = struct.pack(f"<{len(vals)}{fmt}", *vals)
         entries.append((tag, typ, len(vals), packed, size))
 
+    def ascii_entry(tag, text):
+        s = text.encode("ascii") + b"\x00"
+        entries.append((tag, 2, len(s), s, len(s)))
+
     n_strips = len(strips)
     entry(_T_WIDTH, 4, [w])
     entry(_T_LENGTH, 4, [h])
     entry(_T_BPS, 3, [8, 8, 8])
     entry(_T_COMP, 3, [comp_id])
     entry(_T_PHOTO, 3, [2])
+    if make is not None:
+        ascii_entry(0x010F, make)
+    if model is not None:
+        ascii_entry(0x0110, model)
+    if orientation is not None:
+        entry(0x0112, 3, [orientation])
     entry(_T_STRIP_OFF, 4, [0] * n_strips)  # patched below
     entry(_T_SPP, 3, [3])
     entry(_T_RPS, 4, [rps])
     entry(_T_STRIP_CNT, 4, [len(s) for s in strips])
+    if datetime is not None:
+        ascii_entry(0x0132, datetime)
     if predictor:
         entry(_T_PREDICTOR, 3, [2])
     entries.sort(key=lambda t: t[0])

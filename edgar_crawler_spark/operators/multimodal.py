@@ -405,6 +405,7 @@ def extract_image_metadata(
         from edgar_crawler_spark.functions.metadata import (
             extract_jpeg_exif,
             extract_webp_exif,
+            parse_exif,
         )
 
         for pdf in batches:
@@ -417,6 +418,10 @@ def extract_image_metadata(
                         meta = extract_jpeg_exif(data)
                     elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
                         meta = extract_webp_exif(data)
+                    elif data[:4] in (b"II*\x00", b"MM\x00*"):
+                        # TIFF IS the EXIF container: IFD0 carries the
+                        # camera tags natively
+                        meta = parse_exif(data) or None
                     else:
                         meta = None
                     if meta is None:

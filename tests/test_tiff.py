@@ -192,3 +192,78 @@ def test_dispatch_and_sniff():
     data = encode_tiff(px, compression="lzw")
     assert sniff_format(data) == "tiff"
     assert np.array_equal(decode_image(data), px)
+
+
+def test_tiff_native_exif_extract_and_scrub():
+    """TIFF IS the EXIF container: IFD0 camera tags parse directly;
+    the scrub removes the entries AND zeroes their out-of-line value
+    bytes while pixels survive byte-identically."""
+    from edgar_crawler_spark.functions.metadata import (
+        parse_exif,
+        strip_image_metadata,
+    )
+
+    px = _rgb(6, 8, seed=11)
+    data = encode_tiff(
+        px,
+        compression="packbits",
+        make="scanmaker",
+        model="model-9000",
+        datetime="2021:07:01 09:00:00",
+        orientation=6,
+    )
+    meta = parse_exif(data)
+    assert meta["make"] == "scanmaker" and meta["model"] == "model-9000"
+    assert meta["orientation"] == 6 and meta["datetime"].startswith("2021:07")
+    assert np.array_equal(decode_tiff(data), px)
+
+    scrubbed, removed = strip_image_metadata(data)
+    assert len(scrubbed) == len(data)
+    assert {"Make", "Model", "DateTime"} <= set(removed)
+    assert parse_exif(scrubbed) == {}
+    assert b"scanmaker" not in scrubbed and b"model-9000" not in scrubbed
+    assert np.array_equal(decode_tiff(scrubbed), px)
+    # idempotent: nothing left to remove
+    again, removed2 = strip_image_metadata(scrubbed)
+    assert removed2 == [] and again == scrubbed
+
+
+def test_tiff_gps_subifd_scrub():
+    """A hand-grafted GPS sub-IFD (pointer tag 0x8825): the scrub must
+    zero the ENTIRE pointed block including its out-of-line rationals,
+    not just drop the pointer."""
+    import struct
+
+    from edgar_crawler_spark.functions.metadata import (
+        parse_exif,
+        strip_image_metadata,
+    )
+
+    px = _rgb(4, 4, seed=13)
+    base = encode_tiff(px, compression="none", make="gpscam")
+    # graft: replace the Make tag (0x010F) with a GPS-IFD pointer to an
+    # appended sub-IFD carrying lat/lon rationals
+    gps_at = len(base)
+    lat = (37, 1, 46, 1, 30, 1)  # 37°46'30"
+    lon = (122, 1, 25, 1, 0, 1)
+    vals_at = gps_at + 2 + 12 * 4 + 4
+    sub = struct.pack("<H", 4)
+    sub += struct.pack("<HHI", 1, 2, 2) + b"N\x00\x00\x00"
+    sub += struct.pack("<HHI", 2, 5, 3) + struct.pack("<I", vals_at)
+    sub += struct.pack("<HHI", 3, 2, 2) + b"W\x00\x00\x00"
+    sub += struct.pack("<HHI", 4, 5, 3) + struct.pack("<I", vals_at + 24)
+    sub += struct.pack("<I", 0)
+    sub += struct.pack("<6I", *lat) + struct.pack("<6I", *lon)
+    make_entry_at = base.index(struct.pack("<HHI", 0x010F, 2, len("gpscam") + 1))
+    patched = bytearray(base + sub)
+    patched[make_entry_at : make_entry_at + 12] = struct.pack(
+        "<HHII", 0x8825, 4, 1, gps_at
+    )
+    meta = parse_exif(bytes(patched))
+    assert abs(meta["gps_lat"] - 37.775) < 1e-6 and meta["gps_lon"] < 0
+    scrubbed, removed = strip_image_metadata(bytes(patched))
+    assert "GPS" in removed
+    out = parse_exif(scrubbed)
+    assert "gps_lat" not in out and "gps_lon" not in out
+    assert scrubbed[vals_at : vals_at + 48] == b"\x00" * 48  # rationals gone
+    assert np.array_equal(decode_tiff(scrubbed), px)
