@@ -44,6 +44,15 @@ HEADLINE = [
 
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "100000"))
 
+# Steal canary (r04 VERDICT item 1): the pure-SQL headline queries share
+# ZERO code with the frontier/codec paths, so their total wall vs the
+# best ever recorded on this config is a machine-adjudicable ambient-load
+# gauge. ratio ~1.0 = quiet VM; ~1.35 = the documented steal regime —
+# read frontier/extraction numbers in that light. Reference best:
+# BENCH_r03 (sf0.1, local[32]) pure-SQL total = 12.058 - 1.064 flagship.
+CANARY_QUERIES = [q for q in HEADLINE if q != "flagship_frontier_pipeline"]
+CANARY_BEST = {(0.1, 32): 10.994}
+
 
 def bench_frontier(spark, n: int) -> dict:
     from edgar_crawler_spark.fixtures.seed_index import seed_index_df
@@ -274,6 +283,16 @@ def main() -> None:
     extraction = min(extraction_runs, key=lambda r: abs(r["docs_per_s"] - med([x["docs_per_s"] for x in extraction_runs])))
     total = med(pass_totals)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else None
+    canary_total = min(
+        sum(per_query[q][i] for q in CANARY_QUERIES) for i in range(REPS)
+    )
+    canary_ref = CANARY_BEST.get((sf_num, cpus))
+    canary = {
+        "pure_sql_total_best": round(canary_total, 3),
+        "reference_best": canary_ref,
+        "ratio": round(canary_total / canary_ref, 3) if canary_ref else None,
+    }
     print(
         json.dumps(
             {
@@ -285,6 +304,7 @@ def main() -> None:
                 "cpus": cpus,
                 "frontier": frontier,
                 "extraction": extraction,
+                "canary": canary,
                 "reps": REPS,
                 "spread": {
                     "headline_total_wall": spread(pass_totals),

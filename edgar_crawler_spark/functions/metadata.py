@@ -527,9 +527,15 @@ def strip_tiff_metadata(data: bytes) -> tuple[bytes, list[str]]:
             p = at + 2 + 12 * i
             if p + 12 > len(buf):
                 break
-            _tag, typ, cnt = struct.unpack(e + "HHI", data[p : p + 8])
+            tag, typ, cnt = struct.unpack(e + "HHI", data[p : p + 8])
             nb = _TIFF_TYPE_SIZES.get(typ, 1) * cnt
-            if nb > 4:
+            # Nested sub-IFD pointers (Exif/GPS/Interop) are inline
+            # LONGs (nb == 4): recurse into the pointed block before
+            # this table is zeroed, or its contents survive the scrub.
+            if tag in (0x8769, 0x8825, 0xA005) and typ == 4 and cnt == 1:
+                (off,) = struct.unpack(e + "I", data[p + 8 : p + 12])
+                _zero_ifd(off, depth + 1)
+            elif nb > 4:
                 (off,) = struct.unpack(e + "I", data[p + 8 : p + 12])
                 _zero(off, nb)
         _zero(at, 2 + 12 * n + 4)

@@ -268,6 +268,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         else:
             raw = _lzw_decode_tiff(strip, expected)
         rows.append(np.frombuffer(raw, np.uint8).reshape(n_rows, w, spp))
+    if not rows:
+        raise ValueError("TIFF: no image rows")
     px = np.concatenate(rows) if len(rows) > 1 else rows[0]
     if px.shape[0] != h:
         raise ValueError("TIFF: strip rows do not cover the image")

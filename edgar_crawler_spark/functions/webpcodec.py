@@ -1330,8 +1330,19 @@ def encode_webp_anim(
         fr = frames[i]
         x0 = y0 = 0
         rect = fr
-        if delta and prev is not None and not blends[i] and not disposes[i - 1]:
-            changed = (fr[:, :, :3] != prev).any(axis=-1)
+        # Delta (dirty-rect) is only valid when the canvas after frame
+        # i-1 equals frame i-1's raw pixels: frame i-1 must itself have
+        # been an overwrite (B=1, i.e. blends[i-1] False) and not
+        # disposed. The comparison must include the alpha channel —
+        # an alpha-only change is still a change the decoder composites.
+        if (
+            delta
+            and prev is not None
+            and not blends[i]
+            and not blends[i - 1]
+            and not disposes[i - 1]
+        ):
+            changed = (fr != prev).any(axis=-1)
             ys, xs = np.nonzero(changed)
             if len(ys) == 0:
                 # nothing changed: a minimal 1x1 overwrite keeps the
@@ -1353,7 +1364,7 @@ def encode_webp_anim(
             + _chunk(b"VP8L", encode_vp8l(np.ascontiguousarray(rect), **vp8l_knobs))
         )
         body += _chunk(b"ANMF", anmf)
-        prev = fr[:, :, :3] if fr.shape[-1] == 4 else fr
+        prev = fr
     return _riff_container(body)
 
 

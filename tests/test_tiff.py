@@ -267,3 +267,49 @@ def test_tiff_gps_subifd_scrub():
     assert "gps_lat" not in out and "gps_lon" not in out
     assert scrubbed[vals_at : vals_at + 48] == b"\x00" * 48  # rationals gone
     assert np.array_equal(decode_tiff(scrubbed), px)
+
+
+def test_tiff_nested_interop_subifd_scrub():
+    """An Interop IFD (0xA005) nested INSIDE the Exif IFD (0x8769):
+    the scrub must recurse through the inline LONG pointer and zero
+    the nested block too, not just the first-level table."""
+    import struct
+
+    from edgar_crawler_spark.functions.metadata import strip_image_metadata
+
+    px = _rgb(4, 4, seed=17)
+    base = encode_tiff(px, compression="none", make="nestcam")
+    # layout appended after the file: [exif IFD][interop IFD][interop value]
+    exif_at = len(base)
+    exif_size = 2 + 12 * 1 + 4
+    interop_at = exif_at + exif_size
+    interop_val_at = interop_at + 2 + 12 * 1 + 4
+    secret = b"R98-secret\x00\x00"
+    exif = struct.pack("<H", 1)
+    exif += struct.pack("<HHII", 0xA005, 4, 1, interop_at)
+    exif += struct.pack("<I", 0)
+    interop = struct.pack("<H", 1)
+    interop += struct.pack("<HHII", 0x0001, 2, len(secret), interop_val_at)
+    interop += struct.pack("<I", 0)
+    make_entry_at = base.index(struct.pack("<HHI", 0x010F, 2, len("nestcam") + 1))
+    patched = bytearray(base + exif + interop + secret)
+    patched[make_entry_at : make_entry_at + 12] = struct.pack(
+        "<HHII", 0x8769, 4, 1, exif_at
+    )
+    scrubbed, removed = strip_image_metadata(bytes(patched))
+    assert "ExifIFD" in removed
+    assert b"R98-secret" not in scrubbed
+    assert scrubbed[interop_at : interop_at + 18] == b"\x00" * 18
+    assert np.array_equal(decode_tiff(scrubbed), px)
+
+
+def test_tiff_zero_height_named_error():
+    """h==0 (no decodable strips) raises the module's named ValueError,
+    not a bare IndexError — per-row kernels record the error class."""
+    px = _rgb(4, 4)
+    data = bytearray(encode_tiff(px, compression="none"))
+    len_tag = struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", 4)
+    at = bytes(data).index(len_tag) + 8
+    data[at : at + 4] = struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="no image rows"):
+        decode_tiff(bytes(data))

@@ -342,3 +342,58 @@ class TestAnimatedWebP:
         assert removed == ["EXIF"]
         _, again = decode_video(scrubbed)
         assert np.array_equal(again, frames)
+
+
+class TestAnimDeltaGuards:
+    def test_blend_then_delta_roundtrip(self):
+        """A blended frame leaves the canvas != its raw pixels, so the
+        following frame must NOT be stored as a dirty rect against the
+        raw previous frame (regression: decoded [100,100,0] vs
+        expected composite)."""
+        from edgar_crawler_spark.functions.webpcodec import (
+            decode_webp_frames,
+            encode_webp_anim,
+        )
+
+        f0 = np.zeros((8, 8, 4), np.uint8)
+        f0[:, :, 1] = 200
+        f0[:, :, 3] = 255  # opaque green
+        f1 = np.zeros((8, 8, 4), np.uint8)
+        f1[:, :, 0] = 255
+        f1[:, :, 3] = 128  # half-red, BLENDED over f0
+        f2 = f1.copy()
+        f2[2:4, 2:4, 2] = 99  # small change vs f1's raw pixels
+        blob = encode_webp_anim(
+            np.stack([f0, f1, f2]),
+            durations_ms=[40, 40, 40],
+            blend=[False, True, False],
+            delta=True,
+        )
+        _, got = decode_webp_frames(blob)
+        # frame 2 overwrites the FULL canvas (delta disabled after a
+        # blend), so its flattened output is exactly f2 over background
+        a = 128.0 / 255.0
+        exp = f2[:, :, :3] * a + 255.0 * (1 - a)
+        assert np.abs(got[2].astype(np.float64) - exp).max() <= 1.0
+
+    def test_alpha_only_change_is_a_delta(self):
+        """RGBA frames whose only difference is the alpha channel must
+        still produce a dirty rect covering the changed pixels."""
+        from edgar_crawler_spark.functions.webpcodec import (
+            decode_webp_frames,
+            encode_webp_anim,
+        )
+
+        f0 = np.zeros((8, 8, 4), np.uint8)
+        f0[:, :, 0] = 10
+        f0[:, :, 3] = 255
+        f1 = f0.copy()
+        f1[0:2, 0:2, 3] = 0  # alpha-only change (RGB identical)
+        blob = encode_webp_anim(
+            np.stack([f0, f1]), durations_ms=[40, 40], delta=True
+        )
+        _, got = decode_webp_frames(blob)
+        # flattened over the default white background: transparent
+        # corner shows white in frame 1
+        assert (got[1][0:2, 0:2] == 255).all()
+        assert (got[1][4:, 4:] == got[0][4:, 4:]).all()
