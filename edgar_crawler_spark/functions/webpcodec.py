@@ -107,7 +107,13 @@ class _BitReader:
         win |= pad[1:-2] << np.uint32(8)
         win |= pad[2:-1] << np.uint32(16)
         win |= pad[3:] << np.uint32(24)
-        self.win = win.tolist()  # list indexing beats numpy scalars here
+        # 16 zero-window pad entries: the token scan defers truncation
+        # checks to op boundaries (one check per literal/backref instead
+        # of per code read), so a malformed stream may peek up to ~90
+        # bits past the end before the check fires — those reads land in
+        # the pad and decode deterministic garbage that the op-boundary
+        # check then rejects.
+        self.win = win.tolist() + [0] * 16  # list indexing beats numpy scalars
         self.nbytes = len(data)
 
     def bit(self) -> int:
@@ -205,17 +211,21 @@ def _canonical(lengths: list[int]) -> dict:
 
 class _Decoder:
     """Prefix-LUT canonical-code reader sized to the code's max length
-    (≤15 per spec): one window peek + one table lookup per symbol,
-    instead of a per-bit walk. A single-symbol code reads zero bits,
-    as the spec requires. Table rows for each symbol are its
-    bit-reversed code plus every higher-bit completion (stride 2^len),
-    so the LSB-first stream window indexes directly."""
+    (≤15 per spec): one window peek + one PACKED table lookup per
+    symbol ((sym << 5) | len, 0 = invalid window), instead of a
+    per-bit walk. A single-symbol code reads zero bits, as the spec
+    requires. Table rows for each symbol are its bit-reversed code
+    plus every higher-bit completion (stride 2^len), so the LSB-first
+    stream window indexes directly. ``pk_np`` (the numpy twin) feeds
+    the vectorized combined-literal LUT cascade; ``pairs`` (the live
+    (sym, len) set) feeds its Kraft coverage estimate."""
 
     def __init__(self, lengths: list[int]) -> None:
         live = [s for s, ln in enumerate(lengths) if ln]
         if not live:
             raise ValueError("VP8L: empty prefix code")
         self.single = live[0] if len(live) == 1 else None
+        self.pairs = [(s, lengths[s]) for s in live]
         if self.single is not None:
             return
         maxlen = max(ln for ln in lengths)
@@ -238,22 +248,22 @@ class _Decoder:
                 np.asarray(syms, np.int32), 1 << (maxlen - ln)
             )
             ln_a[idx.ravel()] = ln
-        self.sym = sym_a.tolist()
-        self.ln = ln_a.tolist()
+        self.pk_np = (sym_a.astype(np.int64) << 5) | ln_a
+        self.pk = self.pk_np.tolist()
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
         p = br.pos
-        w = (br.win[p >> 3] >> (p & 7)) & self.mask
-        ln = self.ln[w]
+        e = self.pk[(br.win[p >> 3] >> (p & 7)) & self.mask]
+        ln = e & 31
         if ln == 0:
             raise ValueError("VP8L: invalid prefix code in stream")
         p += ln
         if (p - 1) >> 3 >= br.nbytes:
             raise ValueError("VP8L: bitstream truncated")
         br.pos = p
-        return self.sym[w]
+        return e >> 5
 
 
 def _limited_lengths(freq: dict[int, int], alphabet: int, cap: int = 15) -> list[int]:
@@ -498,8 +508,378 @@ def _read_groups(br: _BitReader, cache_bits: int, n_groups: int) -> list:
     return groups
 
 
+def _len_hist(pairs, lit_only: bool = False) -> dict:
+    """{code length: Kraft mass} from a decoder's live (sym, len)
+    pairs. A canonical code's implied symbol probability is 2^-len, so
+    these histograms estimate hit rates without seeing any pixels."""
+    h: dict[int, float] = {}
+    for s, ln in pairs:
+        if lit_only and s >= 256:
+            continue
+        h[ln] = h.get(ln, 0.0) + 2.0 ** -ln
+    return h
+
+
+def _kraft_mass(tree_hists, kcap: int) -> float:
+    """Probability (under the codes' implied distributions) that the
+    total code length across the given trees fits in ``kcap`` bits —
+    the expected combined-LUT hit rate."""
+    dist = {0: 1.0}
+    for hist in tree_hists:
+        new: dict[int, float] = {}
+        for tot, pm in dist.items():
+            for ln, wmass in hist.items():
+                nt = tot + ln
+                if nt <= kcap:
+                    new[nt] = new.get(nt, 0.0) + pm * wmass
+        dist = new
+        if not dist:
+            return 0.0
+    return sum(dist.values())
+
+
+def _chan_step(dec, cur, k: int):
+    """One channel tree in the vectorized LUT-composition cascade:
+    decode the symbol at every one of the 2^k windows at once."""
+    if dec.single is not None:
+        z = np.zeros(1 << k, np.int64)
+        return z + dec.single, z, np.ones(1 << k, bool), cur
+    e = dec.pk_np[cur & dec.mask]
+    ln = e & 31
+    return e >> 5, ln, ln > 0, cur >> ln
+
+
+def _lut_rba(rd, bd, ad, k: int) -> list[int]:
+    """Combined R,B,A literal LUT over 2^k windows: entry =
+    ((a<<24 | r<<16 | b) << 5) | total_len, 0 = miss (some code
+    invalid or the triple doesn't fit in k bits)."""
+    w = np.arange(1 << k, dtype=np.int64)
+    r, lr, okr, w = _chan_step(rd, w, k)
+    b, lb, okb, w = _chan_step(bd, w, k)
+    a, la, oka, w = _chan_step(ad, w, k)
+    total = lr + lb + la
+    ok = okr & okb & oka & (total <= k)
+    return np.where(ok, (((a << 24) | (r << 16) | b) << 5) | total, 0).tolist()
+
+
+def _lut_grba(gd, rd, bd, ad, k: int) -> list[int]:
+    """Whole-literal LUT (green + 3 channels in ONE lookup) over 2^k
+    windows: entry = (packed ARGB << 5) | total_len, 0 = miss (not a
+    literal, some code invalid, or doesn't fit)."""
+    w = np.arange(1 << k, dtype=np.int64)
+    if gd.single is not None:
+        gs = np.zeros(1 << k, np.int64) + gd.single
+        lg = np.zeros(1 << k, np.int64)
+        okg = np.full(1 << k, gd.single < 256)
+    else:
+        e = gd.pk_np[w & gd.mask]
+        lg = e & 31
+        gs = e >> 5
+        okg = (lg > 0) & (gs < 256)
+        w = w >> lg
+    r, lr, okr, w = _chan_step(rd, w, k)
+    b, lb, okb, w = _chan_step(bd, w, k)
+    a, la, oka, w = _chan_step(ad, w, k)
+    total = lg + lr + lb + la
+    ok = okg & okr & okb & oka & (total <= k)
+    return np.where(
+        ok, (((a << 24) | (r << 16) | (gs << 8) | b) << 5) | total, 0
+    ).tolist()
+
+
+def _pk_or_single(dec):
+    """(packed_table, mask, single) scan tuple for one tree."""
+    if dec.single is not None:
+        return None, 0, dec.single
+    return dec.pk, dec.mask, None
+
+
+def _prep_group(g5, n: int):
+    """Per-group scan tables: packed per-tree tables plus the best
+    combined literal LUT the Kraft coverage estimate justifies. k is
+    chosen by a benefit model — expected hit mass × pixels × per-hit
+    saving vs the 2^k cascade/tolist build cost — so tiny images and
+    deep (photographic-entropy) trees skip the build and graphics /
+    palette-class content (the dominant real lossless-WebP corpus)
+    collapses each literal to one or two lookups."""
+    gd, rd, bd, ad, dd = g5
+    fast = None
+    fkind = 0
+    fk = 15
+    if n >= 2048:
+        g_hist = _len_hist(gd.pairs, lit_only=True)
+        r_hist = _len_hist(rd.pairs) if rd.single is None else {0: 1.0}
+        b_hist = _len_hist(bd.pairs) if bd.single is None else {0: 1.0}
+        a_hist = _len_hist(ad.pairs) if ad.single is None else {0: 1.0}
+        if gd.single is not None:
+            g_hist = {0: 1.0} if gd.single < 256 else {}
+        best = 0.0
+        for k in (15, 16, 17):
+            build_us = (1 << k) * 0.06  # cascade + tolist, measured
+            for kind, hists, save_us in (
+                (1, [g_hist, r_hist, b_hist, a_hist], 1.1),
+                (2, [r_hist, b_hist, a_hist], 0.8),
+            ):
+                ben = _kraft_mass(hists, k) * n * save_us - build_us
+                if ben > best:
+                    best = ben
+                    fkind = kind
+                    fk = k
+        if fkind == 1:
+            fast = _lut_grba(gd, rd, bd, ad, fk)
+        elif fkind == 2:
+            fast = _lut_rba(rd, bd, ad, fk)
+    return (
+        fast,
+        (1 << fk) - 1,
+        fkind if fast is not None else 0,
+        *_pk_or_single(gd),
+        *_pk_or_single(rd),
+        *_pk_or_single(bd),
+        *_pk_or_single(ad),
+        *_pk_or_single(dd),
+    )
+
+
+def _scan_tokens(br: _BitReader, w: int, n: int, groups, gid, cache_bits: int):
+    """Phase 1 of the two-phase pixel decode: walk the entropy stream
+    ONCE, recording backref/cache ops and packed literal values — no
+    per-pixel numpy writes, no cache hashing. The bitstream walk
+    depends only on symbol structure (never on decoded pixel VALUES),
+    so reconstruction vectorizes in phase 2 (:func:`_apply_tokens`).
+    Literal runs carry no per-pixel bookkeeping: they are the gaps
+    between recorded ops. Truncation checks are deferred to op
+    boundaries (the reader's zero pad absorbs the bounded overshoot)."""
+    win = br.win
+    limit = 8 * br.nbytes
+    p = br.pos
+    ops: list[tuple[int, int, int, int]] = []
+    lit: list[int] = []
+    app_op = ops.append
+    app_lit = lit.append
+    per_group_n = n if len(groups) == 1 else max(n // len(groups), 512)
+    tabs = [_prep_group(g5, per_group_n) for g5 in groups]
+    (
+        fast, fmask, fkind,
+        gpk, gmask, gsingle,
+        rpk, rmask, rsingle,
+        bpk, bmask, bsingle,
+        apk, amask, asingle,
+        dpk, dmask, dsingle,
+    ) = tabs[0]
+    cur_g = 0
+    pos = 0
+    while pos < n:
+        if gid is not None:
+            t = gid[pos]
+            if t != cur_g:
+                cur_g = t
+                (
+                    fast, fmask, fkind,
+                    gpk, gmask, gsingle,
+                    rpk, rmask, rsingle,
+                    bpk, bmask, bsingle,
+                    apk, amask, asingle,
+                    dpk, dmask, dsingle,
+                ) = tabs[t]
+        if fkind == 1:
+            e = fast[(win[p >> 3] >> (p & 7)) & fmask]
+            if e:
+                p += e & 31
+                if p > limit:
+                    raise ValueError("VP8L: bitstream truncated")
+                app_lit(e >> 5)
+                pos += 1
+                continue
+        if gsingle is None:
+            e = gpk[(win[p >> 3] >> (p & 7)) & gmask]
+            ln_ = e & 31
+            if not ln_:
+                raise ValueError("VP8L: invalid prefix code in stream")
+            p += ln_
+            s = e >> 5
+        else:
+            s = gsingle
+        if s < 256:
+            if fkind == 2:
+                e = fast[(win[p >> 3] >> (p & 7)) & fmask]
+                if e:
+                    p += e & 31
+                    if p > limit:
+                        raise ValueError("VP8L: bitstream truncated")
+                    app_lit((e >> 5) | (s << 8))
+                    pos += 1
+                    continue
+            if rsingle is None:
+                e = rpk[(win[p >> 3] >> (p & 7)) & rmask]
+                ln_ = e & 31
+                if not ln_:
+                    raise ValueError("VP8L: invalid prefix code in stream")
+                p += ln_
+                r = e >> 5
+            else:
+                r = rsingle
+            if bsingle is None:
+                e = bpk[(win[p >> 3] >> (p & 7)) & bmask]
+                ln_ = e & 31
+                if not ln_:
+                    raise ValueError("VP8L: invalid prefix code in stream")
+                p += ln_
+                b2 = e >> 5
+            else:
+                b2 = bsingle
+            if asingle is None:
+                e = apk[(win[p >> 3] >> (p & 7)) & amask]
+                ln_ = e & 31
+                if not ln_:
+                    raise ValueError("VP8L: invalid prefix code in stream")
+                p += ln_
+                a = e >> 5
+            else:
+                a = asingle
+            if p > limit:
+                raise ValueError("VP8L: bitstream truncated")
+            app_lit((a << 24) | (r << 16) | (s << 8) | b2)
+            pos += 1
+        elif s < 280:
+            sym = s - 256
+            if sym < 4:
+                length = sym + 1
+            else:
+                eb = (sym - 2) >> 1
+                length = ((2 + (sym & 1)) << eb) + (
+                    (win[p >> 3] >> (p & 7)) & ((1 << eb) - 1)
+                ) + 1
+                p += eb
+            if dsingle is None:
+                e = dpk[(win[p >> 3] >> (p & 7)) & dmask]
+                ln_ = e & 31
+                if not ln_:
+                    raise ValueError("VP8L: invalid prefix code in stream")
+                p += ln_
+                ds_ = e >> 5
+            else:
+                ds_ = dsingle
+            if ds_ < 4:
+                dcode = ds_ + 1
+            else:
+                eb = (ds_ - 2) >> 1
+                dcode = ((2 + (ds_ & 1)) << eb) + (
+                    (win[p >> 3] >> (p & 7)) & ((1 << eb) - 1)
+                ) + 1
+                p += eb
+            if p > limit:
+                raise ValueError("VP8L: bitstream truncated")
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos:
+                raise ValueError("VP8L: backref before image start")
+            if pos + length > n:
+                raise ValueError("VP8L: backref past image end")
+            app_op((1, pos, length, dist))
+            pos += length
+        else:
+            if cache_bits == 0:
+                raise ValueError("VP8L: cache symbol without cache")
+            if p > limit:
+                raise ValueError("VP8L: bitstream truncated")
+            app_op((2, pos, s - 280, 0))
+            pos += 1
+    if p > limit:
+        raise ValueError("VP8L: bitstream truncated")
+    br.pos = p
+    return ops, lit
+
+
+def _apply_tokens(ops, lit, n: int, cache_bits: int) -> np.ndarray:
+    """Phase 2: reconstruct the packed-uint32 ARGB pixel stream from
+    the scanned ops. Without a color cache, literal gaps are slice
+    assigns and backrefs are in-order slice / broadcast / modulo-index
+    copies (dist-1 runs — the encoder's RLE form — broadcast one
+    value). With a cache, ops replay in order with the cache as a
+    uint32 array: big runs push hashes vectorized (reversed-unique =
+    deterministic last-wins), tiny runs in scalar int arithmetic."""
+    out = np.zeros(n, np.uint32)
+    la = np.array(lit, np.uint32) if lit else np.zeros(0, np.uint32)
+    if cache_bits == 0:
+        cur = 0
+        lc = 0
+        for k, s, x, _y in ops:
+            gap = s - cur
+            if gap:
+                out[cur:s] = la[lc : lc + gap]
+                lc += gap
+            cur = s + (x if k == 1 else 1)
+        if cur < n:
+            out[cur:n] = la[lc : lc + (n - cur)]
+        for k, s, x, y in ops:
+            if k == 1:
+                if y >= x:
+                    out[s : s + x] = out[s - y : s - y + x]
+                elif y == 1:
+                    out[s : s + x] = out[s - 1]
+                else:
+                    out[s : s + x] = out[s - y + np.arange(x) % y]
+        return out
+    cache = np.zeros(1 << cache_bits, np.uint32)
+    mult = np.uint32(0x1E35A7BD)
+    shn = 32 - cache_bits
+    sh = np.uint32(shn)
+
+    def _push_vec(vals: np.ndarray) -> None:
+        keys = (vals * mult) >> sh
+        kr = keys[::-1]
+        uk, fi = np.unique(kr, return_index=True)
+        cache[uk] = vals[::-1][fi]
+
+    cur = 0
+    lc = 0
+    for k, s, x, y in ops:
+        gap = s - cur
+        if gap:
+            out[cur:s] = la[lc : lc + gap]
+            if gap > 64:
+                _push_vec(la[lc : lc + gap])
+            else:
+                for v in lit[lc : lc + gap]:
+                    cache[(v * 0x1E35A7BD & 0xFFFFFFFF) >> shn] = v
+            lc += gap
+            cur = s
+        if k == 1:
+            if y >= x:
+                out[s : s + x] = out[s - y : s - y + x]
+            elif y == 1:
+                out[s : s + x] = out[s - 1]
+            else:
+                out[s : s + x] = out[s - y + np.arange(x) % y]
+            blk = out[s : s + x]
+            if x > 64:
+                _push_vec(blk)
+            else:
+                for v in blk.tolist():
+                    cache[(v * 0x1E35A7BD & 0xFFFFFFFF) >> shn] = v
+            cur = s + x
+        else:
+            out[s] = cache[x]
+            cur = s + 1
+    if cur < n:
+        out[cur:n] = la[lc : lc + (n - cur)]
+    return out
+
+
 def _decode_pixels(br: _BitReader, w: int, h: int, level0: bool):
-    """One entropy-coded image → (h, w, 4) uint8 ARGB (A,R,G,B order)."""
+    """One entropy-coded image → (h, w, 4) uint8 ARGB (A,R,G,B order).
+
+    Two-phase decode (r04 verdict item 3 — this replaced a per-pixel
+    Python walk with per-pixel numpy scalar writes): _scan_tokens
+    walks the bitstream once with packed one-lookup tables and
+    Kraft-gated combined literal LUTs; _apply_tokens reconstructs the
+    packed-uint32 pixel stream with vectorized slice ops."""
     meta = None
     meta_bits = 0
     if level0 and br.bit():
@@ -511,56 +891,23 @@ def _decode_pixels(br: _BitReader, w: int, h: int, level0: bool):
     if cache_bits > 11:
         raise ValueError("VP8L: color cache too large")
     n_groups = 1
+    gid = None
     if meta is not None:
         idx = (meta[:, :, 1].astype(np.int32) << 8) | meta[:, :, 2]
         n_groups = int(idx.max()) + 1
+        gid = (
+            idx[(np.arange(h) >> meta_bits)][:, (np.arange(w) >> meta_bits)]
+            .ravel()
+            .tolist()
+        )
     groups = _read_groups(br, cache_bits, n_groups)
-    cache = [0] * (1 << cache_bits) if cache_bits else None
-    out = np.zeros((h * w, 4), np.uint8)
-    pos = 0
     n = h * w
-
-    def push_cache(argb: tuple) -> None:
-        if cache is not None:
-            key = (
-                0x1E35A7BD
-                * ((argb[0] << 24) | (argb[1] << 16) | (argb[2] << 8) | argb[3])
-                & 0xFFFFFFFF
-            ) >> (32 - cache_bits)
-            cache[key] = argb
-
-    gdec = groups[0]
-    while pos < n:
-        if meta is not None:
-            x, y = pos % w, pos // w
-            gdec = groups[int(idx[y >> meta_bits, x >> meta_bits])]
-        code_g, code_r, code_b, code_a, code_d = gdec
-        s = code_g.read(br)
-        if s < 256:
-            r = code_r.read(br)
-            b = code_b.read(br)
-            a = code_a.read(br)
-            out[pos] = (a, r, s, b)
-            push_cache((a, r, s, b))
-            pos += 1
-        elif s < 280:
-            length = _prefix_decode(s - 256, br)
-            dsym = code_d.read(br)
-            dist = _dist_from_code(_prefix_decode(dsym, br), w)
-            if dist > pos:
-                raise ValueError("VP8L: backref before image start")
-            for _ in range(length):
-                if pos >= n:
-                    raise ValueError("VP8L: backref past image end")
-                out[pos] = out[pos - dist]
-                push_cache(tuple(int(v) for v in out[pos]))
-                pos += 1
-        else:
-            if cache is None:
-                raise ValueError("VP8L: cache symbol without cache")
-            out[pos] = cache[s - 280]
-            pos += 1
-    return out.reshape(h, w, 4)
+    ops, lit = _scan_tokens(br, w, n, groups, gid, cache_bits)
+    packed = _apply_tokens(ops, lit, n, cache_bits)
+    # packed = a<<24|r<<16|g<<8|b; little-endian byte view reversed
+    # per row → (a, r, g, b)
+    arr = packed.view(np.uint8).reshape(n, 4)[:, ::-1]
+    return np.ascontiguousarray(arr).reshape(h, w, 4)
 
 
 def _inv_subtract_green(img: np.ndarray) -> np.ndarray:
@@ -628,25 +975,106 @@ def _predict(mode: int, l, t, tr, tl):
 
 
 def _inv_predictor(img: np.ndarray, modes: np.ndarray, size_bits: int) -> np.ndarray:
+    """Inverse spatial prediction. The left-neighbor dependency makes
+    this inherently sequential per pixel, so the walk runs on plain
+    Python int rows with the per-mode arithmetic inlined — ~6× the
+    numpy-scalar-indexing version it replaced (every out[y, x] fancy
+    read/write was ~1 µs). The forward (encoder) side keeps the
+    readable _predict dispatch."""
     h, w, _ = img.shape
-    out = img.astype(np.int32)
+    res = img.astype(np.int32).tolist()
+    mrow_all = modes[:, :, 2].tolist()
+    prev = None
     for y in range(h):
-        for x in range(w):
-            if x == 0 and y == 0:
-                pred = (255, 0, 0, 0)
-            elif y == 0:
-                pred = tuple(out[0, x - 1])
-            elif x == 0:
-                pred = tuple(out[y - 1, 0])
-            else:
-                mode = int(modes[y >> size_bits, x >> size_bits, 2])
-                l = out[y, x - 1]
-                t = out[y - 1, x]
-                tr = out[y - 1, x + 1] if x + 1 < w else out[y - 1, 0]
-                tl = out[y - 1, x - 1]
-                pred = _predict(mode, l, t, tr, tl)
-            out[y, x] = (out[y, x] + np.array(pred, np.int32)) & 0xFF
-    return out.astype(np.uint8)
+        row = res[y]
+        if y == 0:
+            c = row[0]
+            c[0] = (c[0] + 255) & 0xFF
+            for x in range(1, w):
+                l = row[x - 1]
+                c = row[x]
+                for i in range(4):
+                    c[i] = (c[i] + l[i]) & 0xFF
+        else:
+            mrow = mrow_all[y >> size_bits]
+            c = row[0]
+            t = prev[0]
+            for i in range(4):
+                c[i] = (c[i] + t[i]) & 0xFF
+            for x in range(1, w):
+                mode = mrow[x >> size_bits]
+                c = row[x]
+                l = row[x - 1]
+                t = prev[x]
+                if mode == 7:  # avg(L, T) — cwebp's most common pick
+                    for i in range(4):
+                        c[i] = (c[i] + ((l[i] + t[i]) >> 1)) & 0xFF
+                elif mode == 0:
+                    c[0] = (c[0] + 255) & 0xFF
+                elif mode == 1:
+                    for i in range(4):
+                        c[i] = (c[i] + l[i]) & 0xFF
+                elif mode == 2:
+                    for i in range(4):
+                        c[i] = (c[i] + t[i]) & 0xFF
+                elif mode == 3:
+                    tr = prev[x + 1] if x + 1 < w else prev[0]
+                    for i in range(4):
+                        c[i] = (c[i] + tr[i]) & 0xFF
+                elif mode == 4:
+                    tl = prev[x - 1]
+                    for i in range(4):
+                        c[i] = (c[i] + tl[i]) & 0xFF
+                elif mode == 5:
+                    tr = prev[x + 1] if x + 1 < w else prev[0]
+                    for i in range(4):
+                        c[i] = (c[i] + ((((l[i] + tr[i]) >> 1) + t[i]) >> 1)) & 0xFF
+                elif mode == 6:
+                    tl = prev[x - 1]
+                    for i in range(4):
+                        c[i] = (c[i] + ((l[i] + tl[i]) >> 1)) & 0xFF
+                elif mode == 8:
+                    tl = prev[x - 1]
+                    for i in range(4):
+                        c[i] = (c[i] + ((tl[i] + t[i]) >> 1)) & 0xFF
+                elif mode == 9:
+                    tr = prev[x + 1] if x + 1 < w else prev[0]
+                    for i in range(4):
+                        c[i] = (c[i] + ((t[i] + tr[i]) >> 1)) & 0xFF
+                elif mode == 10:
+                    tl = prev[x - 1]
+                    tr = prev[x + 1] if x + 1 < w else prev[0]
+                    for i in range(4):
+                        c[i] = (
+                            c[i]
+                            + ((((l[i] + tl[i]) >> 1) + ((t[i] + tr[i]) >> 1)) >> 1)
+                        ) & 0xFF
+                elif mode == 11:
+                    tl = prev[x - 1]
+                    pl = 0
+                    pt = 0
+                    for i in range(4):
+                        pv = l[i] + t[i] - tl[i]
+                        pl += abs(pv - l[i])
+                        pt += abs(pv - t[i])
+                    src = l if pl < pt else t
+                    for i in range(4):
+                        c[i] = (c[i] + src[i]) & 0xFF
+                elif mode == 12:
+                    tl = prev[x - 1]
+                    for i in range(4):
+                        v = l[i] + t[i] - tl[i]
+                        c[i] = (c[i] + (0 if v < 0 else 255 if v > 255 else v)) & 0xFF
+                elif mode == 13:
+                    tl = prev[x - 1]
+                    for i in range(4):
+                        av = (l[i] + t[i]) >> 1
+                        v = av + ((av - tl[i]) // 2)
+                        c[i] = (c[i] + (0 if v < 0 else 255 if v > 255 else v)) & 0xFF
+                else:
+                    raise ValueError(f"VP8L: bad predictor mode {mode}")
+        prev = row
+    return np.asarray(res, np.int32).astype(np.uint8)
 
 
 def _delta(t: int, v: int) -> int:
@@ -654,19 +1082,26 @@ def _delta(t: int, v: int) -> int:
 
 
 def _inv_color_transform(img: np.ndarray, elems: np.ndarray, size_bits: int) -> np.ndarray:
+    """Fully vectorized: every pixel is independent (r depends only on
+    its own g, b on its own g and the just-computed r). The per-block
+    transform elements broadcast to the pixel grid; sign-extension and
+    the arithmetic >> 5 match _delta exactly (numpy int32 >> is
+    arithmetic shift, same floor semantics as Python's)."""
     h, w, _ = img.shape
+    # spec channel layout: green_to_red lives in the BLUE channel,
+    # green_to_blue in GREEN, red_to_blue in RED
+    e = elems[
+        (np.arange(h) >> size_bits)[:, None], (np.arange(w) >> size_bits)[None, :]
+    ].astype(np.int32)
+    g2r = ((e[:, :, 3] + 128) & 0xFF) - 128
+    g2b = ((e[:, :, 2] + 128) & 0xFF) - 128
+    r2b = ((e[:, :, 1] + 128) & 0xFF) - 128
     out = img.astype(np.int32)
-    for y in range(h):
-        for x in range(w):
-            e = elems[y >> size_bits, x >> size_bits]
-            # spec channel layout: green_to_red lives in the BLUE
-            # channel, green_to_blue in GREEN, red_to_blue in RED
-            g2r, g2b, r2b = int(e[3]), int(e[2]), int(e[1])
-            g = out[y, x, 2]
-            r = (out[y, x, 1] + _delta(g2r, g)) & 0xFF
-            b = (out[y, x, 3] + _delta(g2b, g) + _delta(r2b, r)) & 0xFF
-            out[y, x, 1] = r
-            out[y, x, 3] = b
+    g = ((out[:, :, 2] + 128) & 0xFF) - 128
+    r = (out[:, :, 1] + ((g2r * g) >> 5)) & 0xFF
+    rs = ((r + 128) & 0xFF) - 128
+    out[:, :, 1] = r
+    out[:, :, 3] = (out[:, :, 3] + ((g2b * g) >> 5) + ((r2b * rs) >> 5)) & 0xFF
     return out.astype(np.uint8)
 
 

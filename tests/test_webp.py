@@ -397,3 +397,71 @@ class TestAnimDeltaGuards:
         # corner shows white in frame 1
         assert (got[1][0:2, 0:2] == 255).all()
         assert (got[1][4:, 4:] == got[0][4:, 4:]).all()
+
+
+class TestFastDecodePaths:
+    """The two-phase decoder (token scan + vectorized apply) switches
+    strategy by image size and tree entropy: combined-literal LUTs
+    (GRBA / RBA) only build above 2048 px when the Kraft coverage
+    estimate pays for them, and the color-cache apply path splits
+    scalar/vectorized at run length 64. These cases pin every branch
+    at LUT-triggering sizes (the knob matrix at small sizes already
+    covers the slow paths)."""
+
+    def _imgs(self):
+        yy, xx = np.mgrid[0:128, 0:128]
+        smooth = np.stack(  # photo-entropy trees → RBA LUT, k=16
+            [
+                (128 + 100 * np.sin(xx / 9.0 + 0.5)).astype(np.uint8),
+                (128 + 100 * np.sin(yy / 11.0)).astype(np.uint8),
+                ((xx + yy) // 2 % 256).astype(np.uint8),
+            ],
+            axis=-1,
+        )
+        pal = np.array(
+            [[255, 255, 255], [0, 0, 0], [200, 30, 30], [30, 30, 200]], np.uint8
+        )
+        gfx = pal[((xx // 7 + yy // 5) % 4)]  # shallow trees → GRBA LUT
+        flat = np.full((128, 128, 3), 77, np.uint8)  # one giant backref
+        flat[64:, :] = 200
+        return {"smooth": smooth, "gfx": gfx, "flat": flat}
+
+    def test_lut_paths_roundtrip(self):
+        from edgar_crawler_spark.functions.webpcodec import (
+            decode_webp,
+            encode_webp,
+        )
+
+        for name, img in self._imgs().items():
+            for knobs in ({}, {"cache_bits": 8}, {"use_lz77": False}):
+                out = decode_webp(encode_webp(img, **knobs))
+                assert np.array_equal(out, img), (name, knobs)
+
+    def test_lut_with_meta_groups_and_transforms(self):
+        from edgar_crawler_spark.functions.webpcodec import (
+            decode_webp,
+            encode_webp,
+        )
+
+        imgs = self._imgs()
+        rng_ = np.random.default_rng(5)
+        modes = rng_.integers(0, 14, (8, 8), np.int64)
+        elems = rng_.integers(0, 256, (8, 8, 3), np.uint8)
+        for knobs in (
+            {"predictor_modes": modes},
+            {"color_elems": elems},
+            {"cache_bits": 6, "predictor_modes": modes, "color_elems": elems},
+        ):
+            out = decode_webp(encode_webp(imgs["smooth"], **knobs))
+            assert np.array_equal(out, imgs["smooth"]), knobs
+
+    def test_truncated_large_stream_raises(self):
+        from edgar_crawler_spark.functions.webpcodec import (
+            decode_webp,
+            encode_webp,
+        )
+
+        blob = encode_webp(self._imgs()["smooth"])
+        for frac in (0.3, 0.7, 0.97):
+            with pytest.raises(ValueError):
+                decode_webp(blob[: int(len(blob) * frac)])
