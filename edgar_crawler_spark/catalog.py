@@ -1777,6 +1777,25 @@ def q_video_frames(spark, sf):
     )
 
 
+def q_video_header_probe(spark, sf):
+    """Container-level video triage WITHOUT decoding a single frame
+    (operators/multimodal.py:video_header_probe — the video twin of
+    image_header_probe, r04 verdict item 6): codec fourcc, dims,
+    frame count, fps and duration from a pure chunk/block walk, so
+    H.264-class corpora are auditable despite the honest codec stubs
+    (those rows report codec='H264' with real dims where the decode
+    kernel must record NotImplementedError). Rows-only (no SQL engine
+    walks RIFF); field-level parity vs the real decoders is pinned in
+    tests/test_multimodal_robots.py."""
+    from edgar_crawler_spark.fixtures.payload import video_df
+    from edgar_crawler_spark.operators.multimodal import video_header_probe
+
+    return video_header_probe(video_df(spark, 48)).select(
+        "media_id", "container", "codec", "vid_w", "vid_h",
+        "n_frames", "fps", "duration_s", "probe_ok",
+    )
+
+
 def q_video_frame_near_dup(spark, sf):
     """Frame-level perceptual dedup / static-scene detection: sampled
     AVI frames → aHash → generic banded Hamming near-dup pairs
@@ -2972,6 +2991,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf_index_topk": (q_ann_ivf_index, SQL_ANN_IVF),
     "audio_wav_features": (q_audio_features, None),
     "video_frame_sample": (q_video_frames, None),
+    "video_header_probe": (q_video_header_probe, None),  # r05-new
     "video_frame_near_dup": (q_video_frame_near_dup, None),
     "image_stats": (q_image_stats, None),
     "image_thumb_phash": (q_image_thumb_phash, None),

@@ -489,6 +489,140 @@ def decode_video(data: bytes) -> tuple[float, np.ndarray]:
     return decode_avi_rgb(data)
 
 
+def probe_video_header(data: bytes) -> dict:
+    """Container-level video probe: (container, codec, dims, frame
+    count, fps, duration) from a pure chunk/block walk — NO frame
+    decode, mirroring image_header_probe's contract for video. This is
+    what makes H.264-class corpora auditable despite the honest codec
+    stubs: the probe reports ``codec='H264'`` with real dims and frame
+    counts where :func:`decode_video` must raise NotImplementedError.
+
+    Supported containers (the same set decode_video dispatches on):
+    AVI/RIFF (any stream fourcc), GIF87a/89a (descriptor count without
+    LZW decode), WebP (ANMF walk; stills probe as one frame).
+    Raises ValueError on anything else."""
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        (w,) = struct.unpack("<H", data[6:8])
+        (h,) = struct.unpack("<H", data[8:10])
+        packed = data[10]
+        pos = 13
+        if packed & 0x80:  # global palette
+            pos += 3 * (2 << (packed & 7))
+        n_frames = 0
+        delay_cs = None
+
+        def _skip_subblocks(p: int) -> int:
+            while p < len(data) and data[p]:
+                p += 1 + data[p]
+            return p + 1
+
+        while pos < len(data):
+            block = data[pos]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension
+                if (
+                    data[pos + 1] == 0xF9
+                    and delay_cs is None
+                    and pos + 5 <= len(data)
+                ):
+                    (delay_cs,) = struct.unpack("<H", data[pos + 4 : pos + 6])
+                pos = _skip_subblocks(pos + 2)
+            elif block == 0x2C:  # image descriptor
+                n_frames += 1
+                lpacked = data[pos + 9]
+                pos += 10
+                if lpacked & 0x80:  # local palette
+                    pos += 3 * (2 << (lpacked & 7))
+                pos = _skip_subblocks(pos + 1)  # +1: LZW min code size
+            else:
+                raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        fps = (100.0 / delay_cs) if delay_cs else None
+        return {
+            "container": "gif",
+            "codec": "lzw",
+            "w": w,
+            "h": h,
+            "n_frames": n_frames,
+            "fps": fps,
+            "duration_s": (n_frames * delay_cs / 100.0) if delay_cs else None,
+        }
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from edgar_crawler_spark.functions.webpcodec import walk_webp_chunks
+
+        w = h = None
+        n_frames = 0
+        dur_ms = 0
+        codec = None
+        for fourcc, at, ln in walk_webp_chunks(data):
+            if fourcc == b"VP8X":
+                w = 1 + int.from_bytes(data[at + 4 : at + 7], "little")
+                h = 1 + int.from_bytes(data[at + 7 : at + 10], "little")
+            elif fourcc == b"ANMF":
+                n_frames += 1
+                dur_ms += int.from_bytes(data[at + 12 : at + 15], "little")
+            elif fourcc == b"VP8L" and codec is None:
+                codec = "vp8l"
+                if w is None and data[at] == 0x2F:
+                    bits = int.from_bytes(data[at + 1 : at + 5], "little")
+                    w = 1 + (bits & 0x3FFF)
+                    h = 1 + ((bits >> 14) & 0x3FFF)
+            elif fourcc == b"VP8 " and codec is None:
+                codec = "vp8"
+        if codec is None and n_frames == 0:
+            raise ValueError("no video payload in WebP container")
+        return {
+            "container": "webp",
+            "codec": codec or "vp8l",
+            "w": w,
+            "h": h,
+            "n_frames": max(n_frames, 1),
+            "fps": (n_frames * 1000.0 / dur_ms) if dur_ms else None,
+            "duration_s": (dur_ms / 1000.0) if dur_ms else None,
+        }
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        w = h = None
+        rate, scale = 0, 1
+        compression = None
+        n_chunks = 0
+
+        def walk(pos: int, end: int) -> None:
+            nonlocal w, h, rate, scale, compression, n_chunks
+            while pos + 8 <= end:
+                tag = data[pos : pos + 4]
+                (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+                body_end = min(pos + 8 + size, end)
+                if tag == b"LIST":
+                    walk(pos + 12, body_end)
+                elif tag == b"strh" and data[pos + 8 : pos + 12] == b"vids":
+                    scale, rate = struct.unpack("<II", data[pos + 28 : pos + 36])
+                elif tag == b"strf" and compression is None:
+                    _, bw, bh, _, _, compression = struct.unpack(
+                        "<IiiHHI", data[pos + 8 : pos + 28]
+                    )
+                    w, h = abs(bw), abs(bh)
+                elif tag[2:4] in (b"db", b"dc") and tag[:2].isdigit():
+                    n_chunks += 1
+                pos = pos + 8 + size + (size % 2)
+
+        walk(12, len(data))
+        if compression in (0, None):
+            codec = "DIB"
+        else:
+            codec = struct.pack("<I", compression).decode("latin-1").strip()
+        fps = (rate / scale) if scale else None
+        return {
+            "container": "avi",
+            "codec": codec,
+            "w": w,
+            "h": h,
+            "n_frames": n_chunks,
+            "fps": fps,
+            "duration_s": (n_chunks / fps) if fps else None,
+        }
+    raise ValueError("not a recognized video container (AVI/GIF/WebP)")
+
+
 def average_hash(pixels: np.ndarray) -> int:
     """64-bit average-hash (aHash): grayscale → 8×8 block means →
     bit = mean(block) > mean(all). Signed int64 for a LongType column.

@@ -645,6 +645,72 @@ def sample_video_frames(
     return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
+VIDEO_PROBE_FIELDS = [
+    StructField("container", StringType()),  # avi | gif | webp
+    StructField("codec", StringType()),  # DIB | MJPG | H264 | lzw | vp8l | ...
+    StructField("vid_w", IntegerType()),
+    StructField("vid_h", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("fps", DoubleType()),
+    StructField("duration_s", DoubleType()),
+    StructField("probe_ok", StringType()),  # ok | <error class>
+]
+
+
+def video_header_probe(
+    df: DataFrame, bytes_col: str = "bytes", num_partitions: int | None = None
+) -> DataFrame:
+    """Container-level video audit WITHOUT any frame decode — the
+    video twin of :func:`image_header_probe`'s contract (r04 verdict
+    item 6). A pure chunk/block walk (functions/imaging.py
+    probe_video_header) reports codec fourcc, dimensions, frame count,
+    fps and duration for AVI (any fourcc — including the H.264-class
+    streams whose decode honestly raises NotImplementedError), GIF
+    (descriptor count, no LZW decode) and WebP (ANMF walk). At corpus
+    scale this is the triage pass: it answers "what codecs do I hold
+    and how many hours of each" for ~header-bytes of work per row,
+    before committing to (or stubbing out) a decode pass.  Per-row
+    error recording, never throws; input columns pass through;
+    explicit repartition pins parallelism (AQE coalescing exemption)."""
+    probe_names = {f.name for f in VIDEO_PROBE_FIELDS}
+    passthrough = [f for f in df.schema.fields if f.name not in probe_names]
+    out_schema = StructType(passthrough + VIDEO_PROBE_FIELDS)
+    keep = [f.name for f in passthrough]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(num_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from edgar_crawler_spark.functions.imaging import probe_video_header
+
+        for pdf in batches:
+            rows = {f.name: [] for f in VIDEO_PROBE_FIELDS}
+            for data in pdf[bytes_col]:
+                try:
+                    p = probe_video_header(bytes(data))
+                    rows["container"].append(p["container"])
+                    rows["codec"].append(p["codec"])
+                    rows["vid_w"].append(p["w"])
+                    rows["vid_h"].append(p["h"])
+                    rows["n_frames"].append(p["n_frames"])
+                    rows["fps"].append(p["fps"])
+                    rows["duration_s"].append(p["duration_s"])
+                    rows["probe_ok"].append("ok")
+                except Exception as e:
+                    for name in (
+                        "container", "codec", "vid_w", "vid_h",
+                        "n_frames", "fps", "duration_s",
+                    ):
+                        rows[name].append(None)
+                    rows["probe_ok"].append(type(e).__name__)
+            out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
+            for name, vals in rows.items():
+                out[name] = pd.Series(vals, dtype=object, index=pdf.index)
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
 IMAGE_STATS_FIELDS = [
     StructField("brightness", DoubleType()),  # mean luma / 255
     StructField("contrast", DoubleType()),  # luma std / 255

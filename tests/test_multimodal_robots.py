@@ -440,3 +440,46 @@ def test_robots_crawl_delay_caps_host_rate(spark):
             continue
         # un-delayed hosts stay on the 10 req/s budget (far less waiting)
         assert row["waited"] <= (row["n"] / 10.0) * 1.5
+
+
+def test_video_header_probe_no_decode(spark):
+    """Container-level probe (the image_header_probe twin for video):
+    codec/dims/frame-count/fps from a pure chunk walk — including for
+    the H264-fourcc rows the decode kernel must refuse — with field
+    parity vs the fixture's known layout."""
+    from edgar_crawler_spark.fixtures.payload import make_video_frames, video_df
+    from edgar_crawler_spark.operators.multimodal import video_header_probe
+
+    out = video_header_probe(video_df(spark, 48)).toPandas().set_index("media_id")
+    assert len(out) == 48
+    for mid, r in out.iterrows():
+        i = int(mid[3:])
+        if i % 13 == 5:  # truncated RIFF: probe answers, with 0 frames
+            assert r.probe_ok == "ok" and r.container == "avi" and r.n_frames == 0
+            continue
+        ref = make_video_frames(i)
+        n, h, w = ref.shape[:3]
+        assert r.probe_ok == "ok"
+        assert (r.vid_w, r.vid_h, r.n_frames) == (w, h, n), mid
+        if i % 11 == 3:  # H264-poisoned: auditable WITHOUT decoding
+            assert r.container == "avi" and r.codec == "H264"
+            assert r.fps == 24.0
+        elif i % 7 == 1:
+            assert r.container == "avi" and r.codec == "MJPG" and r.fps == 24.0
+        elif i % 9 == 2:
+            assert r.container == "gif" and r.codec == "lzw" and r.fps == 25.0
+            assert abs(r.duration_s - n * 0.04) < 1e-9
+        elif i % 8 == 4:
+            assert r.container == "webp" and r.codec == "vp8l" and r.fps == 25.0
+        else:
+            assert r.container == "avi" and r.codec == "DIB" and r.fps == 24.0
+            assert abs(r.duration_s - n / 24.0) < 1e-9
+    # non-video bytes record their error class, never throw
+    import pandas as pd
+
+    bad = video_header_probe(
+        spark.createDataFrame(
+            pd.DataFrame({"media_id": ["x"], "bytes": [b"\x89PNG not a video"]})
+        )
+    ).toPandas()
+    assert bad.probe_ok[0] == "ValueError"
