@@ -139,12 +139,27 @@ def bench_extraction(spark) -> dict:
         md = dict(meta[fname])
         md["content"] = zr.read(name).decode("utf-8", "backslashreplace")
         rows.append(md)
-    df = spark.createDataFrame(pd.DataFrame(rows)).persist()
+    # Stage the corpus through parquet written DRIVER-side (pyarrow, no
+    # Spark job): a parallelized createDataFrame ships ~2 MB of document
+    # text inside EVERY task binary (the "task of very large size"
+    # warnings in the r03/r04 bench tails) — tasks must carry file
+    # splits, exactly as a real table-backed extraction job would.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus_dir = tempfile.mkdtemp(prefix="bench_extr_corpus_")
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+        os.path.join(corpus_dir, "corpus.parquet"),
+        row_group_size=64,
+    )
+    df = spark.read.parquet(corpus_dir).persist()
     n = df.count()
     t0 = time.time()
     extract_records(df, remove_tables=True, n_docs=n).write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
     df.unpersist()
+    shutil.rmtree(corpus_dir, ignore_errors=True)
     return {
         "n_docs": n,
         "wall_s": round(wall, 3),

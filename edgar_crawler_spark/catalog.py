@@ -1639,6 +1639,23 @@ def q_ann_ivf_kmeans(spark, sf):
     return similarity.ivf_topk(emb, _ANN_QUERY_IDS, k=5, cents=cents)
 
 
+def q_ann_ivf_recall(spark, sf):
+    """recall@10 of the probed IVF search vs exact brute force across
+    nprobe ∈ {1,2,4,8,16} at 16 trained cells (operators/similarity.py:
+    ivf_recall_curve) — the retrieval-quality evidence the oracle
+    parity rows can't give (r04 verdict item 4): parity at small
+    n_cells proves mechanics; this measures what a user tuning nprobe
+    gets. Rows-only: each recall value is a scalar derived from two
+    exact searches; monotonicity, the nprobe=n_cells==1.0 endpoint and
+    trained-beats-seed are pytest-pinned (tests/test_ivf_index.py)."""
+    emb = t(spark, sf, "embeddings")
+    cents, _ = similarity.kmeans_refine(emb, n_cells=16, dim=64, iterations=2)
+    return similarity.ivf_recall_curve(
+        emb, list(range(40)), k=10, n_cells=16, nprobes=(1, 2, 4, 8, 16),
+        cents=cents,
+    )
+
+
 def q_ann_kmeans_minibatch(spark, sf):
     """Mini-batch spherical k-means (Sculley shape — the 10^9-row
     trainer: hash-sampled training rounds + ONE full assignment pass;
@@ -2992,6 +3009,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audio_wav_features": (q_audio_features, None),
     "video_frame_sample": (q_video_frames, None),
     "video_header_probe": (q_video_header_probe, None),  # r05-new
+    "ann_ivf_recall": (q_ann_ivf_recall, None),  # r05-new
     "video_frame_near_dup": (q_video_frame_near_dup, None),
     "image_stats": (q_image_stats, None),
     "image_thumb_phash": (q_image_thumb_phash, None),
