@@ -2388,6 +2388,145 @@ ORDER BY image_id
 """
 
 
+def q_pipeline_prep_corpus_v5r(spark, sf):
+    """The v5 image capstone's RELATIONAL SKELETON with a full
+    hash-matched oracle (r04 verdict item 8): the same stage chain —
+    caption/metadata gates → GPS privacy gate → quality gates →
+    banded-Hamming pairs → connected components → min-id survivor →
+    aspect-bucketed batch packing — driven by REAL operators
+    (image_caption_gates, image_dedup_representatives,
+    pack_image_batches), over inputs every SQL engine can rederive:
+    the payload fixture's metadata regenerated from range() (the
+    image_exif_metadata pattern) plus ID-arithmetic stand-ins for the
+    kernel-derived columns (H48-spread 64-bit phash with planted
+    1-bit-twin clusters — i%7∈{0,1} pairs — GPS/entropy/sharpness as
+    index functions). The decode kernels themselves stay covered by
+    the rows-only v5 + pytest; THIS row hash-checks the composite's
+    relational semantics end-to-end, recursive components CTE and all."""
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.dedup import image_dedup_representatives
+    from edgar_crawler_spark.operators.hashing import h48_col
+    from edgar_crawler_spark.operators.multimodal import (
+        image_caption_gates,
+        pack_image_batches,
+    )
+
+    base = payload_df(spark, 1000).select("image_id", "w", "h", "fmt", "caption")
+    i = F.substring("image_id", -6, 6).cast("long")
+    cluster = (
+        F.when(i % 7 < 2, (F.floor(i / 7) * 7).cast("long"))
+        .otherwise(i)
+        .cast("string")
+    )
+    h1 = h48_col(cluster)
+    h2 = h48_col(F.concat(cluster, F.lit("b")))
+    # 63-bit-spread sketch (bit 63 stays 0: no sign headaches in either
+    # engine; every Hamming band still varies — the engineered-anchor
+    # trap from the round-4 notes needs SPREAD bits, which H48(cluster)
+    # in both halves provides)
+    basehash = F.shiftleft(h1 % 32768, 48).bitwiseXOR(h2)
+    src = (
+        base.withColumn("i", i)
+        .withColumn("basehash", basehash)
+        .withColumn(
+            "phash",
+            F.when(
+                F.col("i") % 7 == 1,
+                # shiftleft's bit count must be a COLUMN here → expr form
+                F.expr(
+                    "basehash ^ shiftleft(CAST(1 AS BIGINT), CAST(i % 40 AS INT))"
+                ),
+            ).otherwise(F.col("basehash")),
+        )
+        .drop("basehash")
+        .withColumn("has_gps", (F.col("fmt") == "jpeg") & (i % 2 == 0))
+        .withColumn("gray_entropy", (i % 8).cast("double") / 2.0)
+        .withColumn("sharpness", (i % 5).cast("double"))
+    )
+    kept = (
+        image_caption_gates(src)
+        .filter(F.col("passes") == 1)
+        .filter(~F.col("has_gps"))
+        .filter((F.col("gray_entropy") >= 1.0) & (F.col("sharpness") > 0.0))
+    )
+    reps = image_dedup_representatives(kept, max_hamming=6)
+    survivors = kept.join(reps.select("image_id"), "image_id", "left_semi")
+    return pack_image_batches(
+        survivors.select("image_id", "w", "h"),
+        buckets=[(32, 32), (32, 16), (16, 32)],
+        batch_px_budget=8192,
+        n_shards=8,
+    ).orderBy("image_id")
+
+
+SQL_PIPELINE_PREP_V5R = f"""
+WITH RECURSIVE gen AS ({_SQL_PAYLOAD_META}),
+cap AS (
+  SELECT *, 'image ' || image_id || ' ' || w || 'x' || h || ' ' || fmt AS caption
+  FROM gen),
+drv AS (
+  SELECT *, CASE WHEN i % 7 < 2 THEN CAST((i // 7) * 7 AS VARCHAR)
+                 ELSE CAST(i AS VARCHAR) END AS cl
+  FROM cap),
+hashes AS (
+  SELECT image_id, i, w, h, fmt, caption,
+         xor(CAST(({h48_sql('cl')} % 32768) * 281474976710656 AS BIGINT),
+             {h48_sql("cl || 'b'")}) AS basehash
+  FROM drv),
+ph AS (
+  SELECT *,
+         CASE WHEN i % 7 = 1
+              THEN xor(basehash, CAST(1 AS BIGINT) << CAST(i % 40 AS INT))
+              ELSE basehash END AS phash,
+         (fmt = 'jpeg' AND i % 2 = 0) AS has_gps,
+         CAST(i % 8 AS DOUBLE) / 2.0 AS gray_entropy,
+         CAST(i % 5 AS DOUBLE) AS sharpness
+  FROM hashes),
+kept AS (
+  SELECT * FROM ph
+  WHERE LEAST(w, h) >= 20
+    AND CAST(GREATEST(w, h) AS DOUBLE) / LEAST(w, h) <= 1.5
+    AND len(string_split_regex(trim(caption), '\\s+')) >= 4
+    AND length(caption) <= 80
+    AND fmt <> 'qnt'
+    AND NOT has_gps AND gray_entropy >= 1.0 AND sharpness > 0.0),
+p AS (
+  SELECT a.image_id AS ia, b.image_id AS ib
+  FROM kept a JOIN kept b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+edges AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+comps AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+surv AS (
+  SELECT k.* FROM kept k
+  WHERE k.image_id NOT IN (SELECT node FROM comps WHERE node <> component)),
+buckets AS (
+  SELECT * FROM (VALUES (0, 32, 32), (1, 32, 16), (2, 16, 32)) b(idx, bw, bh)),
+assigned AS (
+  SELECT s.image_id, b.idx AS bucket_idx, b.bw AS target_w, b.bh AS target_h,
+         CAST({h48_sql('s.image_id')} AS BIGINT) AS hh
+  FROM surv s CROSS JOIN buckets b
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY s.image_id
+    ORDER BY CAST(ABS(s.w * b.bh - s.h * b.bw) AS DOUBLE) / (s.h * b.bh), b.idx
+  ) = 1),
+sharded AS (
+  SELECT image_id, bucket_idx, target_w, target_h,
+         CAST(hh % 8 AS INT) AS shard, hh,
+         GREATEST(1, CAST(FLOOR(8192.0 / (target_w * target_h)) AS BIGINT)) AS cap
+  FROM assigned)
+SELECT image_id, bucket_idx, target_w, target_h, shard,
+       CAST(FLOOR((ROW_NUMBER() OVER (
+           PARTITION BY bucket_idx, shard ORDER BY hh, image_id) - 1) / cap)
+         AS INT) AS batch_idx
+FROM sharded
+ORDER BY image_id
+"""
+
+
 def q_image_pack_batches(spark, sf):
     """Aspect-ratio bucketing + fixed-pixel-budget batch packing
     (operators/multimodal.py:pack_image_batches) — the image analog of
@@ -3010,6 +3149,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "video_frame_sample": (q_video_frames, None),
     "video_header_probe": (q_video_header_probe, None),  # r05-new
     "ann_ivf_recall": (q_ann_ivf_recall, None),  # r05-new
+    "pipeline_prep_corpus_v5r": (q_pipeline_prep_corpus_v5r, SQL_PIPELINE_PREP_V5R),  # r05-new
     "video_frame_near_dup": (q_video_frame_near_dup, None),
     "image_stats": (q_image_stats, None),
     "image_thumb_phash": (q_image_thumb_phash, None),
