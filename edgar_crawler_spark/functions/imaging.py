@@ -486,7 +486,167 @@ def decode_video(data: bytes) -> tuple[float, np.ndarray]:
         from edgar_crawler_spark.functions.webpcodec import decode_webp_frames
 
         return decode_webp_frames(data)
+    if len(data) >= 12 and data[4:8] in (b"ftyp", b"moov", b"styp"):
+        # ISO-BMFF: probe names the codec so the per-row error column
+        # records WHICH codec the corpus needs, not just "not AVI"
+        codec = _probe_mp4(data).get("codec")
+        raise NotImplementedError(
+            f"ISO-BMFF video stream {codec!r} requires ffmpeg/pyav (absent here)"
+        )
     return decode_avi_rgb(data)
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def encode_mp4_stub(
+    codec: bytes = b"avc1",
+    w: int = 64,
+    h: int = 48,
+    n_frames: int = 24,
+    fps: float = 24.0,
+    timescale: int = 12288,
+) -> bytes:
+    """Structurally valid moov-only ISO-BMFF/MP4: real ftyp/moov/mvhd/
+    trak/tkhd/mdia/mdhd/hdlr/minf/stbl boxes carrying the given codec
+    fourcc, dims, frame count and rate, plus an empty mdat — NO codec
+    payload, which is the point: H.264-class corpora arrive in exactly
+    this container and the PROBE must audit them even though the
+    decode path has no codec (it raises NotImplementedError naming
+    the fourcc). Test fixture for :func:`probe_video_header`."""
+    dur = int(round(n_frames * timescale / fps))
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    unity = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + unity
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)
+        + b"\x00" * 4
+        + struct.pack(">I", dur)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + unity
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed dims
+    )
+    mdhd = _mp4_box(
+        b"mdhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00")
+    sample_entry = struct.pack(">I", 86) + codec + (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">H", 0x18)
+        + struct.pack(">h", -1)
+    )
+    stsd = _mp4_box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + sample_entry)
+    delta = int(round(timescale / fps))
+    stts = _mp4_box(
+        b"stts",
+        b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">II", n_frames, delta),
+    )
+    stsc = _mp4_box(b"stsc", b"\x00" * 4 + struct.pack(">I", 0))
+    stsz = _mp4_box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 0))
+    stco = _mp4_box(b"stco", b"\x00" * 4 + struct.pack(">I", 0))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _mp4_box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    dinf = _mp4_box(
+        b"dinf",
+        _mp4_box(
+            b"dref",
+            b"\x00" * 4 + struct.pack(">I", 1) + _mp4_box(b"url ", b"\x00\x00\x00\x01"),
+        ),
+    )
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + moov + _mp4_box(b"mdat", b"")
+
+
+def _probe_mp4(data: bytes) -> dict:
+    """ISO-BMFF box walk → codec/dims/frames/fps/duration. Only box
+    structure is read, so any codec fourcc (avc1/hev1/...) probes."""
+    timescale = duration = None
+    w = h = None
+    codec = None
+    n_frames = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal timescale, duration, w, h, codec, n_frames
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            btype = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                body = pos + 16
+            if size == 0:
+                size = end - pos
+            bend = min(pos + size, end)
+            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, bend)
+            elif btype == b"mvhd":
+                if data[body] == 1:
+                    timescale, duration = struct.unpack(
+                        ">IQ", data[body + 20 : body + 32]
+                    )
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", data[body + 12 : body + 20]
+                    )
+            elif btype == b"tkhd" and w is None:
+                w16, h16 = struct.unpack(">II", data[bend - 8 : bend])
+                if w16 and h16:
+                    w, h = w16 >> 16, h16 >> 16
+            elif btype == b"stsd" and codec is None:
+                codec = data[body + 12 : body + 16].decode("latin-1").strip()
+            elif btype == b"stts" and n_frames == 0:
+                (cnt,) = struct.unpack(">I", data[body + 4 : body + 8])
+                for e in range(cnt):
+                    (sc,) = struct.unpack(
+                        ">I", data[body + 8 + e * 8 : body + 12 + e * 8]
+                    )
+                    n_frames += sc
+            pos = pos + size if size > 0 else end
+
+    walk(0, len(data))
+    if codec is None and timescale is None:
+        raise ValueError("no moov/track structure in ISO-BMFF container")
+    dur_s = (duration / timescale) if timescale and duration else None
+    fps = (n_frames / dur_s) if dur_s and n_frames else None
+    return {
+        "container": "mp4",
+        "codec": codec,
+        "w": w,
+        "h": h,
+        "n_frames": n_frames,
+        "fps": round(fps, 3) if fps else None,
+        "duration_s": round(dur_s, 3) if dur_s else None,
+    }
 
 
 def probe_video_header(data: bytes) -> dict:
@@ -497,10 +657,13 @@ def probe_video_header(data: bytes) -> dict:
     stubs: the probe reports ``codec='H264'`` with real dims and frame
     counts where :func:`decode_video` must raise NotImplementedError.
 
-    Supported containers (the same set decode_video dispatches on):
-    AVI/RIFF (any stream fourcc), GIF87a/89a (descriptor count without
-    LZW decode), WebP (ANMF walk; stills probe as one frame).
-    Raises ValueError on anything else."""
+    Supported containers: AVI/RIFF (any stream fourcc), GIF87a/89a
+    (descriptor count without LZW decode), WebP (ANMF walk; stills
+    probe as one frame), and ISO-BMFF/MP4 (box walk — the container
+    H.264-class corpora actually arrive in). Raises ValueError on
+    anything else."""
+    if len(data) >= 12 and data[4:8] in (b"ftyp", b"moov", b"styp"):
+        return _probe_mp4(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         (w,) = struct.unpack("<H", data[6:8])
         (h,) = struct.unpack("<H", data[8:10])

@@ -483,3 +483,29 @@ def test_video_header_probe_no_decode(spark):
         )
     ).toPandas()
     assert bad.probe_ok[0] == "ValueError"
+
+
+def test_mp4_probe_and_named_decode_refusal():
+    """ISO-BMFF: the probe audits any codec fourcc from box structure
+    alone; decode_video names the codec in its NotImplementedError so
+    per-row error columns say WHICH codec the corpus needs."""
+    import pytest as _pytest
+
+    from edgar_crawler_spark.functions.imaging import (
+        decode_video,
+        encode_mp4_stub,
+        probe_video_header,
+    )
+
+    for codec, w, h, n, fps in (
+        (b"avc1", 64, 48, 24, 24.0),
+        (b"hev1", 1920, 1080, 300, 30.0),
+        (b"mp4v", 320, 240, 48, 12.0),
+    ):
+        blob = encode_mp4_stub(codec, w, h, n, fps)
+        got = probe_video_header(blob)
+        assert got["container"] == "mp4" and got["codec"] == codec.decode()
+        assert (got["w"], got["h"], got["n_frames"]) == (w, h, n)
+        assert abs(got["fps"] - fps) < 0.01
+        with _pytest.raises(NotImplementedError, match=codec.decode()):
+            decode_video(blob)
