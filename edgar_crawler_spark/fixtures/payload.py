@@ -14,6 +14,7 @@ table keyed on image_id = accession instead of the network.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -46,7 +47,21 @@ DEFAULT_SEED = 42
 def make_payload_row(i: int, seed: int = DEFAULT_SEED) -> dict:
     """Pure (seed, i) → payload row. Shared by the Spark generator and
     the tests' reference oracle (both call this exact function, so the
-    per-row invariant check is against the true generator output)."""
+    per-row invariant check is against the true generator output).
+
+    Memoized per worker process (bounded LRU): the simulated origin
+    serves IDENTICAL bytes for a URL on every fetch — exactly like a
+    real origin serving stored files — so the synthesis encode runs
+    once per (i, seed) per worker instead of once per fetch. The
+    engine-side decode+validate path still pays per fetch; only the
+    bench harness's encode-side simulation cost is amortized (the r04
+    verdict explicitly separates the two). Callers get a shallow copy;
+    the bytes objects are immutable."""
+    return dict(_payload_row_memo(int(i), int(seed)))
+
+
+@lru_cache(maxsize=65536)
+def _payload_row_memo(i: int, seed: int) -> dict:
     from edgar_crawler_spark.functions.imaging import average_hash, encode_image
 
     rng = np.random.default_rng(seed + i)
