@@ -1813,6 +1813,25 @@ def q_video_header_probe(spark, sf):
     )
 
 
+def q_audio_header_probe(spark, sf):
+    """Container-level audio triage without decoding a sample
+    (operators/multimodal.py:audio_header_probe — the audio twin of
+    video_header_probe): codec, sample rate, channels, duration for
+    WAV/FLAC/Ogg(Vorbis|Opus)/MP3 from header structure alone. Real
+    audio corpora arrive mostly in the three non-decodable-here
+    containers, so this is the pass that answers "which codecs, how
+    many hours" before committing to a decode stage. Rows-only (no
+    SQL engine walks MP3 frames); field parity vs the deterministic
+    fixture is pinned in tests/test_multimodal_robots.py."""
+    from edgar_crawler_spark.fixtures.payload import mixed_audio_df
+    from edgar_crawler_spark.operators.multimodal import audio_header_probe
+
+    return audio_header_probe(mixed_audio_df(spark, 60)).select(
+        "media_id", "container", "codec", "sample_rate", "channels",
+        "n_samples", "duration_s", "bitrate_kbps", "probe_ok",
+    )
+
+
 def q_video_frame_near_dup(spark, sf):
     """Frame-level perceptual dedup / static-scene detection: sampled
     AVI frames → aHash → generic banded Hamming near-dup pairs
@@ -3149,6 +3168,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "video_frame_sample": (q_video_frames, None),
     "video_header_probe": (q_video_header_probe, None),  # r05-new
     "ann_ivf_recall": (q_ann_ivf_recall, None),  # r05-new
+    "audio_header_probe": (q_audio_header_probe, None),  # r05-new
     "pipeline_prep_corpus_v5r": (q_pipeline_prep_corpus_v5r, SQL_PIPELINE_PREP_V5R),  # r05-new
     "video_frame_near_dup": (q_video_frame_near_dup, None),
     "image_stats": (q_image_stats, None),

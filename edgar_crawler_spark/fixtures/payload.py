@@ -269,3 +269,70 @@ def video_df(spark: SparkSession, n: int = 48) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return spark.range(n).repartition(8).mapInPandas(gen, "media_id string, bytes binary")
+
+
+def mixed_audio_df(spark: SparkSession, n: int = 60) -> DataFrame:
+    """Deterministic mixed-container audio corpus for the header probe:
+    rows cycle WAV (real PCM, the only decodable container here) with
+    structurally-valid MP3 / FLAC / Ogg-Opus / Ogg-Vorbis stub headers
+    (functions/audioprobe.py writers — probe fixtures, no decode
+    claim); every 13th blob is poisoned. All parameters are pure
+    functions of the row id so tests and the catalog row can assert
+    field-level parity."""
+    import io
+    import wave
+
+    def gen(batches):
+        from edgar_crawler_spark.functions.audioprobe import (
+            encode_flac_stub,
+            encode_mp3_stub,
+            encode_ogg_stub,
+        )
+
+        for pdf in batches:
+            rows = {"media_id": [], "bytes": []}
+            for i in pdf["id"]:
+                i = int(i)
+                rows["media_id"].append(f"au{i:05d}")
+                if i % 13 == 5:
+                    rows["bytes"].append(b"\x89PNG not audio")
+                    continue
+                k = i % 5
+                if k == 0:
+                    rate = 8000 * (1 + i % 3)
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1 + i % 2)
+                        wf.setsampwidth(2)
+                        wf.setframerate(rate)
+                        wf.writeframes(b"\x00\x00" * (1 + i % 2) * (rate // 4))
+                    rows["bytes"].append(buf.getvalue())
+                elif k == 1:
+                    rows["bytes"].append(
+                        encode_mp3_stub(
+                            n_frames=10 + i % 30,
+                            sample_rate=[44100, 48000, 32000][i % 3],
+                            kbps=[64, 128, 192][i % 3],
+                            channels=1 + i % 2,
+                        )
+                    )
+                elif k == 2:
+                    rows["bytes"].append(
+                        encode_flac_stub(
+                            sample_rate=[22050, 44100, 48000][i % 3],
+                            channels=1 + i % 2,
+                            n_samples=4000 * (1 + i % 7),
+                        )
+                    )
+                else:
+                    rows["bytes"].append(
+                        encode_ogg_stub(
+                            "opus" if k == 3 else "vorbis",
+                            sample_rate=48000 if k == 3 else [44100, 48000][i % 2],
+                            channels=1 + i % 2,
+                            n_samples=9600 * (1 + i % 5),
+                        )
+                    )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).repartition(8).mapInPandas(gen, "media_id string, bytes binary")

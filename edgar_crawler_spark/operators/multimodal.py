@@ -711,6 +711,68 @@ def video_header_probe(
     return df.mapInPandas(run, out_schema)
 
 
+AUDIO_PROBE_FIELDS = [
+    StructField("container", StringType()),  # wav | flac | ogg | mp3
+    StructField("codec", StringType()),  # pcm16 | flac | vorbis | opus | mp3
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_s", DoubleType()),
+    StructField("bitrate_kbps", IntegerType()),
+    StructField("probe_ok", StringType()),  # ok | <error class>
+]
+
+
+def audio_header_probe(
+    df: DataFrame, bytes_col: str = "bytes", num_partitions: int | None = None
+) -> DataFrame:
+    """Container-level AUDIO audit without decoding a sample — the
+    audio twin of :func:`video_header_probe` (functions/audioprobe.py):
+    codec, sample rate, channels, sample count and duration for
+    WAV/RIFF, FLAC (STREAMINFO bit-math), Ogg Vorbis/Opus (last-page
+    granulepos) and MP3 (frame-header walk, Xing VBR honored, ID3v2
+    skipped). Real audio corpora arrive mostly as MP3/FLAC/Ogg — only
+    WAV decodes here (stdlib), so this probe is what answers "which
+    codecs, how many hours" at corpus scale before any decode pass.
+    Per-row error recording, never throws; input columns pass through;
+    explicit repartition pins parallelism (AQE coalescing exemption)."""
+    probe_names = {f.name for f in AUDIO_PROBE_FIELDS}
+    passthrough = [f for f in df.schema.fields if f.name not in probe_names]
+    out_schema = StructType(passthrough + AUDIO_PROBE_FIELDS)
+    keep = [f.name for f in passthrough]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(num_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from edgar_crawler_spark.functions.audioprobe import probe_audio_header
+
+        for pdf in batches:
+            rows = {f.name: [] for f in AUDIO_PROBE_FIELDS}
+            for data in pdf[bytes_col]:
+                try:
+                    p = probe_audio_header(bytes(data))
+                    for name in (
+                        "container", "codec", "sample_rate", "channels",
+                        "n_samples", "duration_s", "bitrate_kbps",
+                    ):
+                        rows[name].append(p[name])
+                    rows["probe_ok"].append("ok")
+                except Exception as e:
+                    for name in (
+                        "container", "codec", "sample_rate", "channels",
+                        "n_samples", "duration_s", "bitrate_kbps",
+                    ):
+                        rows[name].append(None)
+                    rows["probe_ok"].append(type(e).__name__)
+            out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
+            for name, vals in rows.items():
+                out[name] = pd.Series(vals, dtype=object, index=pdf.index)
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
 IMAGE_STATS_FIELDS = [
     StructField("brightness", DoubleType()),  # mean luma / 255
     StructField("contrast", DoubleType()),  # luma std / 255

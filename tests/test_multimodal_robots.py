@@ -509,3 +509,44 @@ def test_mp4_probe_and_named_decode_refusal():
         assert abs(got["fps"] - fps) < 0.01
         with _pytest.raises(NotImplementedError, match=codec.decode()):
             decode_video(blob)
+
+
+def test_audio_header_probe_mixed_corpus(spark):
+    """Audio container triage without decode: field-level parity vs
+    the deterministic mixed fixture (WAV real, MP3/FLAC/Ogg stubs),
+    poisoned rows recorded not thrown."""
+    from edgar_crawler_spark.fixtures.payload import mixed_audio_df
+    from edgar_crawler_spark.operators.multimodal import audio_header_probe
+
+    out = audio_header_probe(mixed_audio_df(spark, 60)).toPandas().set_index("media_id")
+    assert len(out) == 60
+    for mid, r in out.iterrows():
+        i = int(mid[2:])
+        if i % 13 == 5:
+            assert r.probe_ok == "ValueError"
+            continue
+        assert r.probe_ok == "ok", mid
+        k = i % 5
+        if k == 0:
+            rate = 8000 * (1 + i % 3)
+            assert r.container == "wav" and r.codec == "pcm16"
+            assert r.sample_rate == rate and r.channels == 1 + i % 2
+            # n_frames = bytes/(ch*2) = (1+i%2)*(rate//4)*2 / (ch*2)
+            assert abs(r.duration_s - 0.25) < 0.01
+        elif k == 1:
+            assert r.container == "mp3" and r.codec == "mp3"
+            assert r.sample_rate == [44100, 48000, 32000][i % 3]
+            assert r.bitrate_kbps == [64, 128, 192][i % 3]
+            assert r.n_samples == (10 + i % 30) * 1152
+        elif k == 2:
+            assert r.container == "flac"
+            assert r.sample_rate == [22050, 44100, 48000][i % 3]
+            assert r.n_samples == 4000 * (1 + i % 7)
+            assert abs(r.duration_s - r.n_samples / r.sample_rate) < 0.01
+        elif k == 3:
+            assert r.container == "ogg" and r.codec == "opus"
+            assert r.sample_rate == 48000 and r.n_samples == 9600 * (1 + i % 5)
+            assert abs(r.duration_s - r.n_samples / 48000.0) < 0.01
+        else:
+            assert r.container == "ogg" and r.codec == "vorbis"
+            assert r.n_samples == 9600 * (1 + i % 5)
