@@ -2565,6 +2565,70 @@ def q_image_pack_batches(spark, sf):
     )
 
 
+def q_export_shard_manifest(spark, sf):
+    """Training-shard export manifest (sources/shard_export.py:
+    export_training_shards → shard_manifest): payload × packing
+    assignment → one deterministic WebDataset-style tar per
+    (bucket, shard), projected to its manifest columns. The tar bytes
+    themselves are pytest-pinned (byte-identical re-export, member
+    round-trip); the manifest — counts, batch counts, first/last
+    member in pack order — is pure relational arithmetic over the
+    pack assignment and ORACLE-CHECKED end-to-end against the
+    regenerated fixture metadata."""
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import pack_image_batches
+    from edgar_crawler_spark.sources.shard_export import (
+        export_training_shards,
+        shard_manifest,
+    )
+
+    pay = payload_df(spark, 1000)
+    asg = pack_image_batches(
+        pay, buckets=[(32, 32), (32, 16), (16, 32)],
+        batch_px_budget=8192, n_shards=8,
+    )
+    return shard_manifest(export_training_shards(pay, asg))
+
+
+SQL_EXPORT_SHARD_MANIFEST = f"""
+WITH gen AS ({_SQL_PAYLOAD_META}),
+buckets AS (
+  SELECT * FROM (VALUES (0, 32, 32), (1, 32, 16), (2, 16, 32)) b(idx, bw, bh)
+),
+assigned AS (
+  SELECT g.image_id, g.w, g.h, b.idx AS bucket_idx, b.bw AS target_w,
+         b.bh AS target_h,
+         CAST({h48_sql('g.image_id')} AS BIGINT) AS hh
+  FROM gen g CROSS JOIN buckets b
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY g.image_id
+    ORDER BY CAST(ABS(g.w * b.bh - g.h * b.bw) AS DOUBLE) / (g.h * b.bh), b.idx
+  ) = 1
+),
+sharded AS (
+  SELECT image_id, bucket_idx, target_w, target_h,
+         CAST(hh % 8 AS INT) AS shard, hh,
+         GREATEST(1, CAST(FLOOR(8192.0 / (target_w * target_h)) AS BIGINT)) AS cap
+  FROM assigned
+),
+packed AS (
+  SELECT image_id, bucket_idx, shard, cap,
+         ROW_NUMBER() OVER (
+             PARTITION BY bucket_idx, shard ORDER BY hh, image_id) AS rn,
+         COUNT(*) OVER (PARTITION BY bucket_idx, shard) AS cnt
+  FROM sharded
+)
+SELECT bucket_idx, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT CAST(FLOOR((rn - 1) / cap) AS INT)) AS INT) AS n_batches,
+       MIN(CASE WHEN rn = 1 THEN image_id END) AS first_id,
+       MIN(CASE WHEN rn = cnt THEN image_id END) AS last_id
+FROM packed
+GROUP BY bucket_idx, shard
+ORDER BY bucket_idx, shard
+"""
+
+
 def q_image_caption_gates(spark, sf):
     """LAION-style metadata pre-filters for image+caption pairs
     (operators/multimodal.py:image_caption_gates): min-side, aspect
@@ -3169,6 +3233,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "video_header_probe": (q_video_header_probe, None),  # r05-new
     "ann_ivf_recall": (q_ann_ivf_recall, None),  # r05-new
     "audio_header_probe": (q_audio_header_probe, None),  # r05-new
+    "export_shard_manifest": (q_export_shard_manifest, SQL_EXPORT_SHARD_MANIFEST),  # r05-new
     "pipeline_prep_corpus_v5r": (q_pipeline_prep_corpus_v5r, SQL_PIPELINE_PREP_V5R),  # r05-new
     "video_frame_near_dup": (q_video_frame_near_dup, None),
     "image_stats": (q_image_stats, None),

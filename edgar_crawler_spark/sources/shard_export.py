@@ -1,0 +1,139 @@
+"""WebDataset-style training-shard export — the last mile between
+``pack_image_batches`` and a training job.
+
+A training run wants sequentially-readable shards (tar archives of
+{key}.{ext} + {key}.txt member pairs, the WebDataset convention), not
+a parquet table of rows.  The export is Spark-shaped: ONE shuffle on
+the id key joins payload bytes to the packing assignment, then
+``groupBy(bucket_idx, shard).applyInPandas`` builds each shard tar in
+a single executor pass — shard count is the parallelism knob
+(``pack_image_batches(n_shards=...)``), so at 100 TB you raise
+``n_shards`` until a shard fits an executor and the export is
+embarrassingly parallel.  No driver collects; no folder-of-files
+per-row writes.
+
+Shards are BYTE-DETERMINISTIC: members ordered by (batch_idx, H48(id),
+id) — the exact pack order — with zeroed tar timestamps/owners in
+USTAR format, so re-running the export produces bit-identical tars and
+the ``sha256`` column is a content address (idempotent re-export,
+cross-run diffing, cache keys for downstream loaders).
+
+The manifest projection (everything except the tar bytes) is pure
+relational arithmetic over the packing assignment and carries a FULL
+DuckDB oracle in the catalog (``export_shard_manifest``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import tarfile
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+SHARD_SCHEMA = (
+    "bucket_idx int, shard int, n_items bigint, n_batches int, "
+    "first_id string, last_id string, sha256 string, tar_bytes binary"
+)
+
+#: container fmt → WebDataset member extension
+_EXT = {
+    "jpeg": "jpg",
+    "png": "png",
+    "gif": "gif",
+    "bmp": "bmp",
+    "webp": "webp",
+    "tiff": "tif",
+    "qnt": "qnt",
+}
+
+
+def export_training_shards(
+    payload: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    caption_col: str = "caption",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """payload (id, bytes, caption, fmt) × assignment
+    (:func:`~edgar_crawler_spark.operators.multimodal.pack_image_batches`
+    output) → one row per (bucket_idx, shard): a deterministic tar
+    shard plus its manifest columns.  The join shuffles on the id key
+    with an explicit SHUFFLE_HASH hint (the byte-bearing payload side
+    must never be broadcast)."""
+    joined = payload.select(id_col, bytes_col, caption_col, fmt_col).join(
+        assignment.hint("shuffle_hash"), on=id_col
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from edgar_crawler_spark.operators.hashing import h48_py
+
+        pdf = pdf.assign(__h=[h48_py(str(x)) for x in pdf[id_col]])
+        pdf = pdf.sort_values(["batch_idx", "__h", id_col])
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for batch_idx, rid, blob, caption, fmt in zip(
+                pdf["batch_idx"], pdf[id_col], pdf[bytes_col],
+                pdf[caption_col], pdf[fmt_col],
+            ):
+                key = f"{int(batch_idx):06d}_{rid}"
+                blob = bytes(blob)
+                for name, payload_bytes in (
+                    (f"{key}.{_EXT.get(fmt, 'bin')}", blob),
+                    (f"{key}.txt", (caption or "").encode("utf-8")),
+                ):
+                    ti = tarfile.TarInfo(name)
+                    ti.size = len(payload_bytes)
+                    ti.mtime = 0
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    tf.addfile(ti, io.BytesIO(payload_bytes))
+        tar_bytes = buf.getvalue()
+        return pd.DataFrame(
+            {
+                "bucket_idx": [int(pdf["bucket_idx"].iloc[0])],
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_items": [len(pdf)],
+                "n_batches": [int(pdf["batch_idx"].nunique())],
+                "first_id": [str(pdf[id_col].iloc[0])],
+                "last_id": [str(pdf[id_col].iloc[-1])],
+                "sha256": [hashlib.sha256(tar_bytes).hexdigest()],
+                "tar_bytes": [tar_bytes],
+            }
+        )
+
+    return joined.groupBy("bucket_idx", "shard").applyInPandas(build, SHARD_SCHEMA)
+
+
+def shard_manifest(shards: DataFrame) -> DataFrame:
+    """Manifest projection (no tar payload): the SQL-oracle-able view
+    of an export — ordered, deterministic, cheap to diff."""
+    return shards.select(
+        "bucket_idx", "shard", "n_items", "n_batches", "first_id", "last_id"
+    ).orderBy("bucket_idx", "shard")
+
+
+def write_shard_files(shards: DataFrame, root: str) -> None:
+    """Interchange materialization:
+    ``{root}/bucket{b:02d}/shard-{s:05d}.tar`` per row, written
+    executor-side per partition (the blob_sink discipline: shared
+    storage on a cluster; idempotent — deterministic bytes make a
+    retried task rewrite identical content)."""
+    import os
+
+    rows = shards.select("bucket_idx", "shard", "tar_bytes")
+
+    def write_partition(it):
+        for row in it:
+            d = os.path.join(root, f"bucket{row.bucket_idx:02d}")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"shard-{row.shard:05d}.tar"), "wb") as f:
+                f.write(bytes(row.tar_bytes))
+
+    os.makedirs(root, exist_ok=True)
+    rows.foreachPartition(write_partition)

@@ -1,0 +1,101 @@
+"""WebDataset-style training-shard export: byte-determinism (the
+sha256 is a content address), member round-trip against the payload
+table in exact pack order, manifest consistency, and the interchange
+file materialization."""
+
+import io
+import tarfile
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def exported(spark):
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import pack_image_batches
+    from edgar_crawler_spark.sources.shard_export import export_training_shards
+
+    pay = payload_df(spark, 300)
+    asg = pack_image_batches(
+        pay, buckets=[(32, 32), (32, 16), (16, 32)],
+        batch_px_budget=8192, n_shards=4,
+    )
+    shards = export_training_shards(pay, asg).toPandas()
+    return pay.toPandas().set_index("image_id"), asg.toPandas(), shards
+
+
+def test_every_item_lands_exactly_once(exported):
+    pay, asg, shards = exported
+    assert shards.n_items.sum() == len(pay)
+    keys = set()
+    for tb in shards.tar_bytes:
+        with tarfile.open(fileobj=io.BytesIO(bytes(tb))) as tf:
+            for m in tf.getnames():
+                if m.endswith(".txt"):
+                    continue
+                keys.add(m.rsplit(".", 1)[0].split("_", 1)[1])
+    assert keys == set(pay.index)
+
+
+def test_members_roundtrip_bytes_captions_and_order(exported):
+    from edgar_crawler_spark.operators.hashing import h48_py
+
+    pay, asg, shards = exported
+    for row in shards.itertuples():
+        with tarfile.open(fileobj=io.BytesIO(bytes(row.tar_bytes))) as tf:
+            names = tf.getnames()
+            img_members = [n for n in names if not n.endswith(".txt")]
+            # pack order: (batch_idx, H48(id), id), encoded in the key
+            parsed = [
+                (n.rsplit(".", 1)[0].split("_", 1)) for n in img_members
+            ]
+            order = [(int(b), h48_py(i), i) for b, i in parsed]
+            assert order == sorted(order)
+            assert parsed[0][1] == row.first_id
+            assert parsed[-1][1] == row.last_id
+            for n in img_members:
+                key = n.rsplit(".", 1)[0]
+                iid = key.split("_", 1)[1]
+                assert tf.extractfile(n).read() == bytes(pay.loc[iid, "bytes"])
+                cap = tf.extractfile(key + ".txt").read().decode()
+                assert cap == pay.loc[iid, "caption"]
+
+
+def test_reexport_is_byte_identical(spark, exported):
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import pack_image_batches
+    from edgar_crawler_spark.sources.shard_export import export_training_shards
+
+    _, _, shards = exported
+    pay = payload_df(spark, 300)
+    asg = pack_image_batches(
+        pay, buckets=[(32, 32), (32, 16), (16, 32)],
+        batch_px_budget=8192, n_shards=4,
+    )
+    again = export_training_shards(pay, asg).toPandas()
+    a = shards.set_index(["bucket_idx", "shard"]).sha256.sort_index()
+    b = again.set_index(["bucket_idx", "shard"]).sha256.sort_index()
+    assert (a == b).all()
+
+
+def test_write_shard_files_layout(spark, tmp_path, exported):
+    import glob
+    import os
+
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import pack_image_batches
+    from edgar_crawler_spark.sources.shard_export import (
+        export_training_shards,
+        write_shard_files,
+    )
+
+    pay = payload_df(spark, 100)
+    asg = pack_image_batches(
+        pay, buckets=[(32, 32)], batch_px_budget=8192, n_shards=2,
+    )
+    shards = export_training_shards(pay, asg)
+    write_shard_files(shards, str(tmp_path / "wds"))
+    files = sorted(glob.glob(str(tmp_path / "wds" / "bucket*" / "shard-*.tar")))
+    assert len(files) == shards.count()
+    with tarfile.open(files[0]) as tf:
+        assert len(tf.getnames()) > 0
