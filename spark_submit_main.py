@@ -165,6 +165,27 @@ def main() -> None:
         "layout, download_filings.py:716-729) — directly consumable by "
         "the reference's extract_items.py or this CLI's --extract stage",
     )
+    ap.add_argument(
+        "--export-shards",
+        help="after the crawl, run the image-curation tail over the "
+        "payload table (caption/metadata gates → perceptual-hash dedup "
+        "representatives → aspect-bucket packing) and write "
+        "deterministic WebDataset-style tar shards to this directory "
+        "(sources/shard_export.py)",
+    )
+    ap.add_argument(
+        "--export-n-shards",
+        type=int,
+        default=8,
+        help="hash shards per aspect bucket for --export-shards (the "
+        "export parallelism knob: one tar per (bucket, shard))",
+    )
+    ap.add_argument(
+        "--export-px-budget",
+        type=int,
+        default=8192,
+        help="pixel budget per packed batch for --export-shards",
+    )
     # stage 2 (extract_items.py:1191-1266)
     ap.add_argument(
         "--extract",
@@ -428,6 +449,50 @@ def main() -> None:
             if n_dirs >= args.compact_lsh_index:
                 idx.compact()
                 report["lsh_index_compacted_dirs"] = n_dirs
+
+    if args.export_shards:
+        import pyspark.sql.functions as F
+
+        from edgar_crawler_spark.operators.dedup import image_dedup_representatives
+        from edgar_crawler_spark.operators.multimodal import (
+            image_caption_gates,
+            pack_image_batches,
+        )
+        from edgar_crawler_spark.sources.shard_export import (
+            export_training_shards,
+            write_shard_files,
+        )
+
+        payload = fr.payload.read(spark)
+        if payload is not None:
+            gated = image_caption_gates(payload).filter(F.col("passes") == 1)
+            reps = image_dedup_representatives(gated, max_hamming=6)
+            survivors = gated.join(reps.select("image_id"), "image_id", "left_semi")
+            asg = pack_image_batches(
+                survivors,
+                buckets=[(32, 32), (32, 16), (16, 32)],
+                batch_px_budget=args.export_px_budget,
+                n_shards=args.export_n_shards,
+            )
+            # consumed twice (file write + manifest counts): checkpoint
+            # so the tar-building kernel runs once
+            shards = export_training_shards(survivors, asg).localCheckpoint()
+            write_shard_files(shards, args.export_shards)
+            agg = shards.agg(
+                F.count("*").alias("n"), F.sum("n_items").alias("items")
+            ).first()
+            report["export_shards"] = {
+                "dir": args.export_shards,
+                "n_shards": int(agg["n"]),
+                "n_items": int(agg["items"] or 0),
+            }
+            if runlog:
+                runlog.info(
+                    "exported %d shards / %d items to %s",
+                    report["export_shards"]["n_shards"],
+                    report["export_shards"]["n_items"],
+                    args.export_shards,
+                )
 
     print(json.dumps({"admitted": admitted, "waves": waves, **report}))
 
