@@ -1327,6 +1327,54 @@ SELECT doc_id, shard, CAST(FLOOR(before / 2048) AS INT) AS bin, n_tokens FROM ru
 """
 
 
+def q_export_text_shard_manifest(spark, sf):
+    """Text training-shard export manifest (sources/shard_export.py:
+    export_text_shards → text_shard_manifest): documents packed at a
+    2,048-token budget into 8 hash shards, each shard materialized as
+    a byte-deterministic gzip'd JSONL blob (mtime-0 header, sorted
+    keys, pack-order lines; sha256 is the content address — pinned in
+    tests/test_shard_export.py). The manifest — doc/bin/token counts
+    and the first/last document in pack order — is pure window
+    arithmetic over the pack assignment and ORACLE-CHECKED."""
+    from edgar_crawler_spark.operators.text import pack_sequences
+    from edgar_crawler_spark.sources.shard_export import (
+        export_text_shards,
+        text_shard_manifest,
+    )
+
+    docs = t(spark, sf, "documents")
+    asg = pack_sequences(docs, max_tokens=2048, n_shards=8)
+    return text_shard_manifest(export_text_shards(docs, asg))
+
+
+SQL_EXPORT_TEXT_MANIFEST = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         CAST({h48_sql("CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard,
+         {h48_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents),
+runs AS (
+  SELECT doc_id, shard, n_tokens, h,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY h ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY shard) AS cnt
+  FROM toks)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT CAST(FLOOR(before / 2048) AS INT)) AS INT) AS n_bins,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(CASE WHEN rn = 1 THEN CAST(doc_id AS VARCHAR) END) AS first_id,
+       MIN(CASE WHEN rn = cnt THEN CAST(doc_id AS VARCHAR) END) AS last_id
+FROM runs
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 def q_text_scrub_pii(spark, sf):
     """PII redaction (operators/text.py:scrub_pii) over a derived
     corpus with deterministically injected PII (both engines run the
@@ -3234,6 +3282,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf_recall": (q_ann_ivf_recall, None),  # r05-new
     "audio_header_probe": (q_audio_header_probe, None),  # r05-new
     "export_shard_manifest": (q_export_shard_manifest, SQL_EXPORT_SHARD_MANIFEST),  # r05-new
+    "export_text_shard_manifest": (q_export_text_shard_manifest, SQL_EXPORT_TEXT_MANIFEST),  # r05-new
     "pipeline_prep_corpus_v5r": (q_pipeline_prep_corpus_v5r, SQL_PIPELINE_PREP_V5R),  # r05-new
     "video_frame_near_dup": (q_video_frame_near_dup, None),
     "image_stats": (q_image_stats, None),

@@ -118,6 +118,73 @@ def shard_manifest(shards: DataFrame) -> DataFrame:
     ).orderBy("bucket_idx", "shard")
 
 
+TEXT_SHARD_SCHEMA = (
+    "shard int, n_docs bigint, n_bins int, n_tokens bigint, "
+    "first_id string, last_id string, sha256 string, jsonl_gz binary"
+)
+
+
+def export_text_shards(
+    docs: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The text twin of :func:`export_training_shards`: documents ×
+    ``pack_sequences`` assignment → one gzip'd JSONL shard per hash
+    shard, lines in exact pack order (bin, H48(id), id), each line
+    ``{"id": ..., "bin": ..., "n_tokens": ..., "text": ...}`` with
+    sorted keys and no float jitter — and ``mtime=0`` in the gzip
+    header, so re-export is byte-identical and ``sha256`` is a content
+    address. Same scale story: ``pack_sequences(n_shards=...)`` is the
+    parallelism knob, one executor pass per shard, no driver collects."""
+    joined = docs.select(id_col, text_col).join(
+        assignment.hint("shuffle_hash"), on=id_col
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import gzip
+        import json
+
+        from edgar_crawler_spark.operators.hashing import h48_py
+
+        pdf = pdf.assign(__h=[h48_py(str(x)) for x in pdf[id_col]])
+        pdf = pdf.sort_values(["bin", "__h", id_col])
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            for rid, text, b, nt in zip(
+                pdf[id_col], pdf[text_col], pdf["bin"], pdf["n_tokens"]
+            ):
+                line = json.dumps(
+                    {"bin": int(b), "id": rid, "n_tokens": int(nt), "text": text},
+                    sort_keys=True,
+                    ensure_ascii=False,
+                )
+                gz.write(line.encode("utf-8") + b"\n")
+        blob = buf.getvalue()
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_docs": [len(pdf)],
+                "n_bins": [int(pdf["bin"].nunique())],
+                "n_tokens": [int(pdf["n_tokens"].sum())],
+                "first_id": [str(pdf[id_col].iloc[0])],
+                "last_id": [str(pdf[id_col].iloc[-1])],
+                "sha256": [hashlib.sha256(blob).hexdigest()],
+                "jsonl_gz": [blob],
+            }
+        )
+
+    return joined.groupBy("shard").applyInPandas(build, TEXT_SHARD_SCHEMA)
+
+
+def text_shard_manifest(shards: DataFrame) -> DataFrame:
+    """SQL-oracle-able projection of a text-shard export."""
+    return shards.select(
+        "shard", "n_docs", "n_bins", "n_tokens", "first_id", "last_id"
+    ).orderBy("shard")
+
+
 def write_shard_files(shards: DataFrame, root: str) -> None:
     """Interchange materialization:
     ``{root}/bucket{b:02d}/shard-{s:05d}.tar`` per row, written

@@ -99,3 +99,33 @@ def test_write_shard_files_layout(spark, tmp_path, exported):
     assert len(files) == shards.count()
     with tarfile.open(files[0]) as tf:
         assert len(tf.getnames()) > 0
+
+
+def test_text_shards_roundtrip_and_determinism(spark):
+    import gzip
+    import json
+
+    from edgar_crawler_spark.operators.text import pack_sequences
+    from edgar_crawler_spark.sources.shard_export import export_text_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    asg = pack_sequences(docs, max_tokens=512, n_shards=4)
+    one = export_text_shards(docs, asg).toPandas()
+    two = export_text_shards(docs, asg).toPandas()
+    a = one.set_index("shard").sha256.sort_index()
+    b = two.set_index("shard").sha256.sort_index()
+    assert (a == b).all()  # byte-identical re-export
+    ref = docs.toPandas().set_index("doc_id")
+    seen = 0
+    for row in one.itertuples():
+        lines = gzip.decompress(bytes(row.jsonl_gz)).decode().splitlines()
+        assert len(lines) == row.n_docs
+        recs = [json.loads(ln) for ln in lines]
+        bins = [r["bin"] for r in recs]
+        assert bins == sorted(bins)  # pack order
+        assert str(recs[0]["id"]) == row.first_id
+        assert str(recs[-1]["id"]) == row.last_id
+        for r in recs:
+            assert r["text"] == ref.loc[r["id"], "text"]
+            seen += 1
+    assert seen == len(ref)
