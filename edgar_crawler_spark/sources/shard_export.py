@@ -185,22 +185,44 @@ def text_shard_manifest(shards: DataFrame) -> DataFrame:
     ).orderBy("shard")
 
 
-def write_shard_files(shards: DataFrame, root: str) -> None:
+def write_shard_files(shards: DataFrame, root: str) -> dict:
     """Interchange materialization:
-    ``{root}/bucket{b:02d}/shard-{s:05d}.tar`` per row, written
-    executor-side per partition (the blob_sink discipline: shared
-    storage on a cluster; idempotent — deterministic bytes make a
-    retried task rewrite identical content)."""
+    ``{root}/bucket{b:02d}/shard-{s:05d}.tar`` per row plus a
+    ``.sha256`` sidecar, written executor-side per partition (the
+    blob_sink discipline: shared storage on a cluster). Because shard
+    bytes are content-addressed, a re-export SKIPS every shard whose
+    sidecar already matches — incremental materialization falls out of
+    determinism: after a crawl wave only the (bucket, shard) tars whose
+    membership changed are rewritten. Returns {written, skipped}
+    (counted via per-partition results, no driver byte collects)."""
     import os
 
-    rows = shards.select("bucket_idx", "shard", "tar_bytes")
+    rows = shards.select("bucket_idx", "shard", "sha256", "tar_bytes")
 
     def write_partition(it):
+        written = skipped = 0
         for row in it:
             d = os.path.join(root, f"bucket{row.bucket_idx:02d}")
             os.makedirs(d, exist_ok=True)
-            with open(os.path.join(d, f"shard-{row.shard:05d}.tar"), "wb") as f:
+            base = os.path.join(d, f"shard-{row.shard:05d}.tar")
+            side = base + ".sha256"
+            try:
+                with open(side) as f:
+                    if f.read().strip() == row.sha256 and os.path.exists(base):
+                        skipped += 1
+                        continue
+            except FileNotFoundError:
+                pass
+            with open(base, "wb") as f:
                 f.write(bytes(row.tar_bytes))
+            with open(side, "w") as f:
+                f.write(row.sha256)
+            written += 1
+        yield (written, skipped)
 
     os.makedirs(root, exist_ok=True)
-    rows.foreachPartition(write_partition)
+    counts = rows.rdd.mapPartitions(write_partition).collect()
+    return {
+        "written": sum(c[0] for c in counts),
+        "skipped": sum(c[1] for c in counts),
+    }

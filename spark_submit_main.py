@@ -477,7 +477,7 @@ def main() -> None:
             # consumed twice (file write + manifest counts): checkpoint
             # so the tar-building kernel runs once
             shards = export_training_shards(survivors, asg).localCheckpoint()
-            write_shard_files(shards, args.export_shards)
+            wrote = write_shard_files(shards, args.export_shards)
             agg = shards.agg(
                 F.count("*").alias("n"), F.sum("n_items").alias("items")
             ).first()
@@ -485,6 +485,7 @@ def main() -> None:
                 "dir": args.export_shards,
                 "n_shards": int(agg["n"]),
                 "n_items": int(agg["items"] or 0),
+                **wrote,
             }
             if runlog:
                 runlog.info(

@@ -93,12 +93,23 @@ def test_write_shard_files_layout(spark, tmp_path, exported):
     asg = pack_image_batches(
         pay, buckets=[(32, 32)], batch_px_budget=8192, n_shards=2,
     )
-    shards = export_training_shards(pay, asg)
-    write_shard_files(shards, str(tmp_path / "wds"))
+    shards = export_training_shards(pay, asg).localCheckpoint()
+    first = write_shard_files(shards, str(tmp_path / "wds"))
     files = sorted(glob.glob(str(tmp_path / "wds" / "bucket*" / "shard-*.tar")))
-    assert len(files) == shards.count()
+    n = shards.count()
+    assert len(files) == n
+    assert first == {"written": n, "skipped": 0}
     with tarfile.open(files[0]) as tf:
         assert len(tf.getnames()) > 0
+    # content-addressed re-materialization: second pass skips everything
+    again = write_shard_files(shards, str(tmp_path / "wds"))
+    assert again == {"written": 0, "skipped": n}
+    # corrupt one sidecar -> exactly that shard rewrites
+    side = files[0] + ".sha256"
+    with open(side, "w") as f:
+        f.write("bogus")
+    third = write_shard_files(shards, str(tmp_path / "wds"))
+    assert third == {"written": 1, "skipped": n - 1}
 
 
 def test_text_shards_roundtrip_and_determinism(spark):
