@@ -21,11 +21,39 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from edgar_crawler_spark.operators.fanout import fanout
 from edgar_crawler_spark.operators.hashing import h48_col
 
 MINHASH_K = 8  # permutations
 LSH_BANDS = 4  # k/BANDS rows per band
 SIMHASH_BITS = 32
+
+
+def tok_hash_array(text_col: F.Column, distinct: bool) -> F.Column:
+    """array<long> of H48 over the whitespace tokens of one document,
+    computed entirely INSIDE the row (split → filter → [array_distinct]
+    → transform) — the zero-shuffle twin of :func:`tokens`: every
+    duplicate (doc_id, tok) pair lives in the row it came from, so the
+    per-doc dedup needs no exchange, and per-doc aggregates (min-hash,
+    bit votes) fold over the array with no groupBy (guide §2.4)."""
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    if distinct:
+        toks = F.array_distinct(toks)
+    return F.transform(toks, lambda t: h48_col(t))
+
+
+def _hashed_docs(docs: DataFrame, text_col: str, distinct: bool) -> DataFrame:
+    """(doc_id, __hs) rows for docs with ≥1 token. The emptiness
+    filter tests the TOKEN array (split only — predicate pushdown
+    re-inlines the filter below the projection, so testing the hash
+    array would run the md5 transform twice per row); the hash array
+    materializes once in its own projection."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    return (
+        fanout(docs)
+        .filter(F.size(toks) > 0)
+        .select("doc_id", tok_hash_array(F.col(text_col), distinct).alias("__hs"))
+    )
 
 
 def tokens(docs: DataFrame, text_col: str = "text", dedup: bool = True) -> DataFrame:
@@ -37,13 +65,13 @@ def tokens(docs: DataFrame, text_col: str = "text", dedup: bool = True) -> DataF
     aggregate is duplicate-insensitive (minhash: min() over token
     hashes is unchanged by repeats).
 
-    Explicit repartition before the explode: the documents scan is
+    Scale-adaptive fan-out before the explode: the documents scan is
     often a single small file (1 task), but the exploded token stream
-    is 10-100× larger — fan out BEFORE the multiplication, not after.
+    is 10-100× larger — fan out BEFORE the multiplication, not after
+    (and not at all when the scan is already wide enough).
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
     out = (
-        docs.repartition(par)
+        fanout(docs)
         .select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
@@ -57,11 +85,10 @@ def shingles(
     default (the shingling front-end of shingle→minhash→band→
     bucket-join); ``dedup=False`` as in :func:`tokens`.
     Generated JVM-side: explode over a position sequence + substring."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
     t = F.col(text_col)
     n = F.greatest(F.length(t) - k + 1, F.lit(0))
     out = (
-        docs.repartition(par)
+        fanout(docs)
         .filter(n > 0)
         .select("doc_id", F.explode(F.sequence(F.lit(1), n)).alias("pos"), t.alias("__t"))
         .select("doc_id", F.expr(f"substring(__t, pos, {k})").alias("tok"))
@@ -71,7 +98,10 @@ def shingles(
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: representative = min doc_id per
-    md5(text). Returns (doc_id, text_md5, dup_count)."""
+    md5(text). Returns (doc_id, text_md5, dup_count). No fan-out: the
+    md5+partial-agg runs inside the scan task and ships only (hash,
+    min, count) — repartitioning first means shuffling the full text,
+    measured 2× slower at sf1.0."""
     return (
         docs.select("doc_id", F.md5(F.col(text_col)).alias("text_md5"))
         .groupBy("text_md5")
@@ -108,15 +138,63 @@ def _perm_col(h: F.Column, r: int, a: int, b: int) -> F.Column:
     return (rot * F.lit(a) + F.lit(b)).bitwiseAND(F.lit(MASK48))
 
 
+def minhash_wide(docs: DataFrame, k: int = MINHASH_K, text_col: str = "text") -> DataFrame:
+    """(doc_id, m0..m{k-1}) — the k min-hashes as ONE row per doc with
+    ZERO exchanges past the scan fan-out: token hashes are an in-row
+    array (:func:`tok_hash_array`; min() is duplicate-insensitive so no
+    distinct), and each signature is a ``least``-fold over that array.
+    The long-form ``minhash_signatures`` and the band keys both derive
+    from this frame without any groupBy — the r05 plan paid two full
+    token-stream shuffles (distinct + signature groupBy) for the same
+    numbers. Docs with no tokens drop out, exactly as the groupBy
+    formulation did."""
+    base = _hashed_docs(docs, text_col, distinct=False)
+    # NB: HOF lambdas must be built by a closure factory — a default
+    # arg (lambda acc, h, _c=...) makes PySpark count THREE lambda
+    # parameters and bind the third as a lambda variable (CLAUDE.md
+    # round-1 gotcha; NOT_ITERABLE at py4j otherwise)
+    def _minfold(r: int, a: int, b: int):
+        return lambda acc, h: F.least(acc, _perm_col(h, r, a, b))
+
+    coeffs = minhash_coeffs(k)
+    return base.select(
+        "doc_id",
+        *[
+            F.aggregate(
+                "__hs", F.lit(MASK48).cast("long"), _minfold(r, a, b)
+            ).alias(f"m{i}")
+            for i, (r, a, b) in enumerate(coeffs)
+        ],
+    )
+
+
+def _explode_wide_sigs(wide: DataFrame, k: int) -> DataFrame:
+    return wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("seed"), F.col(f"m{i}").alias("minhash"))
+                    for i in range(k)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.seed").cast("int").alias("seed"), F.col("s.minhash").alias("minhash"))
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = MINHASH_K, tokenizer=tokens
 ) -> DataFrame:
     """(doc_id, seed, minhash) — k independent min-hashes per doc.
-    ONE md5 per token (the base H48) and k affine permutations
-    computed as k aggregate expressions in a single map-side-combined
-    groupBy — the token stream is never multiplied by k; the unpivot
-    to long form happens on one row per doc. ``tokenizer`` selects the
-    feature front-end (whitespace tokens or char shingles)."""
+    Default (whitespace) tokenization folds in-row over the token-hash
+    array (:func:`minhash_wide`) — no shuffle at all; the long form is
+    a narrow explode of the wide row. Custom tokenizers (char
+    shingles) keep the long-form pipeline: ONE md5 per token and k
+    permutations as k aggregate expressions in a single
+    map-side-combined groupBy — the token stream is never multiplied
+    by k."""
+    if tokenizer is tokens:
+        return _explode_wide_sigs(minhash_wide(docs, k), k)
     try:
         # min() is duplicate-insensitive: skip the tokenizer's
         # (doc_id, tok) distinct — one full token-stream shuffle saved
@@ -131,30 +209,51 @@ def minhash_signatures(
             for i, (r, a, b) in enumerate(coeffs)
         ]
     )
+    return _explode_wide_sigs(wide, k)
+
+
+LSH_BUCKET_CAP = 64
+
+
+def band_rows_from_wide(wide: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band, band_key) straight off the wide signature row —
+    band_key is a concat of that band's minhashes in seed order, built
+    per-row and exploded: no groupBy, no exchange (the long-form
+    ``band_rows_from_sigs`` needs a (doc_id, band) groupBy because seed
+    rows arrive separately)."""
+    rows_per_band = k // bands
     return wide.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(i).alias("seed"), F.col(f"m{i}").alias("minhash"))
-                    for i in range(k)
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{b * rows_per_band + j}").cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
                 ]
             )
-        ).alias("s"),
-    ).select("doc_id", F.col("s.seed").cast("int").alias("seed"), F.col("s.minhash").alias("minhash"))
-
-
-LSH_BUCKET_CAP = 64
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
 def band_rows(
     docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS, tokenizer=tokens
 ) -> DataFrame:
     """(doc_id, band, band_key) — each doc's banded LSH bucket keys
-    (band key = that band's minhashes in seed order; collect_list
-    order is nondeterministic, so (seed, minhash) structs are sorted
-    first). Shared by the one-shot pair join and the persisted
-    incremental index."""
+    (band key = that band's minhashes in seed order). Default
+    tokenization goes wide-row → per-row band keys (zero exchanges);
+    custom tokenizers keep the long-form groupBy. Shared by the
+    one-shot pair join and the persisted incremental index."""
+    if tokenizer is tokens:
+        return band_rows_from_wide(minhash_wide(docs, k), k, bands)
     sigs = minhash_signatures(docs, k, tokenizer=tokenizer)
     return band_rows_from_sigs(sigs, k, bands)
 
@@ -1006,12 +1105,34 @@ def minhash_verified_pairs(
     estimator), with NO second pass over the token streams. Returns
     (doc_a, doc_b, est_jaccard) with est_jaccard ≥ ``min_sim``.
 
-    Cost over raw candidates: one join of the k-row-per-doc signature
-    table against the pair list (pairs are the small side after
-    banding) — token data never re-shuffles. Both the band keys and
-    the verification join derive from ONE sigs subtree (identical
-    canonical exchanges, eligible for AQE stage reuse rather than
-    forcing two independent tokenize→hash→aggregate pipelines)."""
+    Cost over raw candidates: one join of the signature table against
+    the pair list (pairs are the small side after banding) — token
+    data never re-shuffles. Default tokenization verifies against the
+    WIDE one-row-per-doc signature frame (two doc_id-key joins of 1-row
+    sides, agreeing-seed fraction as a flat k-term expression — the
+    exact Σ/k the AVG over k seed rows computed, 0/1 sums in double are
+    order-exact); custom tokenizers keep the long-form seed-row join."""
+    if tokenizer is tokens:
+        # three consumers (band keys + both verification legs) and no
+        # shared exchange subtree to reuse — lazily localCheckpoint the
+        # tiny (doc_id, k longs) frame so the token pipeline runs once
+        wide = minhash_wide(docs, k).localCheckpoint(eager=False)
+        pairs = _pairs_from_banded(band_rows_from_wide(wide, k, bands), bucket_cap)
+        wa = wide.select(
+            F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)]
+        )
+        wb = wide.select(
+            F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)]
+        )
+        matches = F.lit(0.0)
+        for i in range(k):
+            matches = matches + F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1.0).otherwise(0.0)
+        return (
+            pairs.join(wa, "doc_a")
+            .join(wb, "doc_b")
+            .select("doc_a", "doc_b", F.round(matches / F.lit(float(k)), 6).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= min_sim)
+        )
     sigs = minhash_signatures(docs, k, tokenizer=tokenizer)
     pairs = _pairs_from_banded(band_rows_from_sigs(sigs, k, bands), bucket_cap)
     sa = sigs.select(
@@ -1078,19 +1199,22 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash) — classic Charikar sketch over token hashes:
     bit b of the sketch = majority of bit b across H48(token).
 
-    The 32 bit-votes are 32 aggregate expressions in ONE groupBy (with
-    map-side combine) rather than a 32-way explode of the token stream
-    — 32× less shuffle."""
-    toks = tokens(docs).withColumn("h", h48_col(F.col("tok")))
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
-            for b in range(bits)
-        ]
-    )
+    Zero-shuffle formulation: the DISTINCT token-hash set is an in-row
+    array (:func:`tok_hash_array` — set semantics live inside the row,
+    no (doc_id, tok) distinct exchange) and each bit vote is a fold
+    over that array, so there is no groupBy either. The r05 plan paid
+    two full token-stream exchanges (distinct + 32-vote groupBy) for
+    the same sketch. Docs with no tokens drop out, exactly as the
+    groupBy formulation did."""
+    base = _hashed_docs(docs, "text", distinct=True)
+    def _vote(b: int):
+        # closure factory, NOT a default-arg lambda (see minhash_wide)
+        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    votes = [F.aggregate("__hs", F.lit(0).cast("long"), _vote(b)) for b in range(bits)]
     sketch = F.lit(0).cast("long")
     for b in range(bits):
         sketch = sketch + F.when(
-            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+            votes[b] > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return votes.select("doc_id", sketch.alias("simhash"))
+    return base.select("doc_id", sketch.alias("simhash"))

@@ -20,13 +20,14 @@ _HEX = "0123456789abcdef"
 
 
 def h48_col(c: Column) -> Column:
-    """Spark column: H48 of a string column (JVM-side md5 + arithmetic)."""
-    md5 = F.md5(c)
-    out = F.lit(0).cast("long")
-    for i in range(12):
-        hexval = (F.instr(F.lit(_HEX), F.substring(md5, i + 1, 1)) - 1).cast("long")
-        out = out + hexval * F.lit(16**i).cast("long")
-    return out
+    """Spark column: H48 of a string column (JVM-side md5 + arithmetic).
+
+    The little-endian per-char weighting (char i worth 16^(i-1)) is one
+    ``conv`` over the REVERSED 12-char prefix — identical value to the
+    12-term instr/substring sum it replaces, at a fraction of the
+    expression cost (one string reverse + one base conversion instead
+    of 12 substring+instr+multiply nodes per hash)."""
+    return F.conv(F.reverse(F.substring(F.md5(c), 1, 12)), 16, 10).cast("long")
 
 
 def h48_sql(expr: str) -> str:

@@ -20,6 +20,8 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from edgar_crawler_spark.operators.fanout import fanout
+
 #: n_cells × dim above which the literal-expression quantizer plan is
 #: refused and the broadcast path is used instead.  A literal plan embeds
 #: every centroid component as an ``F.lit`` node — at real IVF cell
@@ -43,6 +45,12 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # NB (r06): a flat per-element expansion (a[0]*b[0] + …) was
+    # measured 2-5× SLOWER than this fold at dim 64 — the expression
+    # chains break whole-stage codegen (janino method-size limits,
+    # MiB-scale task binaries) and fall back to interpreted eval with
+    # hundreds of nodes per pair, while the fold is one node whose
+    # lambda runs a tight loop. Keep the fold.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -62,14 +70,27 @@ def brute_force_topk(
     emb: DataFrame, query_ids: list[int], k: int = 5, vec_col: str = "embedding"
 ) -> DataFrame:
     """Exact top-k neighbours for each query id.
-    Returns (query_id, neighbor_id, rnk, cos)."""
-    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv")
+    Returns (query_id, neighbor_id, rnk, cos).
+
+    r06: per-row norms are computed ONCE per side before the Q×N join
+    (identical arithmetic — dot/(‖q‖·‖c‖) with the same fold order —
+    but ‖·‖ per row instead of per pair: 2Q fewer folds per candidate),
+    and a narrow scan fans out so the pair scoring isn't serial.
+    Together 3.2 s → 0.45 s at sf1.0/local[32]."""
+    base = fanout(emb)
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         q.join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -97,17 +118,27 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket. Same output shape as brute_force_topk."""
+    bucket. Same output shape as brute_force_topk. Norms precomputed
+    per side + narrow-scan fanout (see :func:`brute_force_topk`):
+    1.4 s → 0.8 s at sf1.0/local[32]."""
     planes = hyperplanes(n_planes, dim)
-    withb = emb.withColumn("bucket", bucket_col(F.col(vec_col), planes))
+    withb = fanout(emb).withColumn("bucket", bucket_col(F.col(vec_col), planes))
     q = withb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        "bucket",
+        _norm(F.col(vec_col)).alias("__qn"),
     )
-    c = withb.select(F.col("vec_id").alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "bucket",
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         q.join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -129,6 +160,12 @@ def ivf_centroids(n_cells: int, dim: int) -> list[list[int]]:
 
 def _cell_col(vec: Column, cents: list[list[int]]) -> Column:
     """argmax_c dot(v, centroid_c); ties → lowest cell index."""
+    # NB: keep the FOLD form here — these dot subtrees are duplicated
+    # across the argmax CASE chain (dots[j] appears in every branch
+    # alongside `best`, which itself embeds all of them), so a flat
+    # per-element expansion multiplies the plan by cells×dim: measured
+    # 22 MiB task binaries + janino method-size compile failures at
+    # 16×64. One fold node per dot keeps the tree bounded.
     dots = [
         _dot(vec, F.array(*[F.lit(float(x)) for x in c])) for c in cents
     ]

@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from edgar_crawler_spark.operators.fanout import fanout
 from edgar_crawler_spark.operators.hashing import h48_col
 
 # marker vocabularies for the synthetic corpus (documents.text draws
@@ -31,24 +32,47 @@ PUNCT_CLASS = r"[.,;:!?]"
 
 
 def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    # two-step select: the token array materializes once per row (the
+    # multi-reference blocks project collapapse — SPARK-36718), instead
+    # of re-splitting the text per consuming expression; fanout keeps a
+    # narrow scan from running the split pass serial
     t = F.col(text_col)
-    n_ws = F.size(F.filter(F.split(t, " "), lambda x: x != ""))
-    return docs.select(
+    base = fanout(docs).select(
         "doc_id",
-        n_ws.cast("long").alias("n_tokens"),
-        F.length(t).cast("long").alias("n_chars_actual"),
+        F.size(F.filter(F.split(t, " "), lambda x: x != "")).alias("__nw"),
+        F.length(t).alias("__nc"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("__nw").cast("long").alias("n_tokens"),
+        F.col("__nc").cast("long").alias("n_chars_actual"),
         # BPE-ish estimate: ~4 chars/token floor at whitespace count
-        F.greatest(n_ws, (F.length(t) / 4).cast("long")).alias("n_subwords_est"),
+        F.greatest(F.col("__nw").cast("long"), (F.col("__nc") / 4).cast("long")).alias(
+            "n_subwords_est"
+        ),
     )
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
+    # step 1: one row-local pass extracting the four integer features —
+    # the token array is built ONCE (multi-reference blocks project
+    # collapse) instead of once per feature expression
     toks = F.filter(F.split(t, " "), lambda x: x != "")
-    n_tokens = F.size(toks)
-    n_chars = F.length(t)
-    n_punct = F.size(F.split(t, PUNCT_CLASS)) - 1
-    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(STOPWORDS)))
+    feats = fanout(docs).select(
+        "doc_id",
+        toks.alias("__toks"),
+        F.length(t).alias("__nc"),
+        (F.size(F.split(t, PUNCT_CLASS)) - 1).alias("__np"),
+    ).select(
+        "doc_id",
+        F.size("__toks").alias("__nt"),
+        F.col("__nc"),
+        F.col("__np"),
+        F.size(F.filter("__toks", lambda x: F.lower(x).isin(STOPWORDS))).alias("__ns"),
+    )
+    n_tokens, n_chars = F.col("__nt"), F.col("__nc")
+    n_punct, n_stop = F.col("__np"), F.col("__ns")
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
     mean_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
@@ -57,7 +81,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         - punct_ratio * 2
         + stop_ratio
     )
-    return docs.select(
+    return feats.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
@@ -73,11 +97,12 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # NB: the lambda must be single-arg — a second parameter would make
     # PySpark pass the element *index* as that argument
     def _hit_counter(markers):
-        return F.size(F.filter(toks, lambda x: x.isin(markers)))
+        return F.size(F.filter("__toks", lambda x: x.isin(markers)))
 
+    base = fanout(docs).select("doc_id", toks.alias("__toks"))
     hits = {lang: _hit_counter(markers) for lang, markers in LANG_MARKERS.items()}
     pred = F.when(hits["en"] >= hits["fr"], F.lit("en")).otherwise(F.lit("fr"))
-    return docs.select(
+    return base.select(
         "doc_id",
         hits["en"].cast("long").alias("hits_en"),
         hits["fr"].cast("long").alias("hits_fr"),
@@ -100,7 +125,7 @@ def winnowing_fingerprints(
     t = F.col(text_col)
     n_grams = F.greatest(F.length(t) - k + 1, F.lit(0))
     grams = (
-        docs.filter(n_grams > 0)
+        fanout(docs).filter(n_grams > 0)
         .select("doc_id", F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"), t.alias("__t"))
         .select("doc_id", "pos", F.expr(f"substring(__t, pos, {k})").alias("gram"))
         .withColumn("h", h48_col(F.col("gram")))
@@ -124,7 +149,7 @@ def tfidf_top_terms(docs: DataFrame, top: int = 3, text_col: str = "text") -> Da
     (doc_id, tok, rnk, tfidf)."""
     from pyspark.sql import Window as W
 
-    toks = docs.select(
+    toks = fanout(docs).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
@@ -148,7 +173,7 @@ def _word_ngrams(docs: DataFrame, n: int, text_col: str) -> DataFrame:
     sequence guard also avoids Spark's descending sequence(1, 0))."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     return (
-        docs.select("doc_id", toks.alias("__toks"))
+        fanout(docs).select("doc_id", toks.alias("__toks"))
         .filter(F.size("__toks") >= n)
         .select(
             "doc_id",
@@ -235,7 +260,7 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     token counts.  Docs with no tokens report entropy 0, ttr 0."""
     t = F.col(text_col)
     per = (
-        docs.select(
+        fanout(docs).select(
             "doc_id", F.explode(F.filter(F.split(t, " "), lambda x: x != "")).alias("tok")
         )
         .groupBy("doc_id", "tok")
@@ -408,11 +433,13 @@ def decontamination_overlap_bloom(
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    # normalize once per row (two-step select; the double reference
+    # blocks project collapse), fan a narrow scan out first
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return docs.select(
+    return fanout(docs).select("doc_id", norm.alias("__norm")).select(
         "doc_id",
-        F.md5(norm).alias("fp_md5"),
-        h48_col(norm).alias("fp_h48"),
+        F.md5("__norm").alias("fp_md5"),
+        h48_col(F.col("__norm")).alias("fp_h48"),
     )
 
 
