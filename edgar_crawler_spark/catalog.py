@@ -30,6 +30,7 @@ from edgar_crawler_spark.operators.relational import (
     global_topk,
     lookup_join,
     ranked_per_group,
+    topk_per_group_agg,
     type_filter,
     url_prefix_projection,
 )
@@ -354,12 +355,15 @@ WHERE rnk <= 20
 
 
 def q_a3_per_host_rank(spark, sf):
-    """A3: per-host priority queue → row_number per partition key."""
+    """A3: per-host priority queue, top-3 per key. r06: served by the
+    sort-and-slice aggregation (operators/relational.py
+    topk_per_group_agg) — same rows as the row_number window (verified
+    exceptAll-equal both ways at sf1.0), without the full
+    per-partition sort. The window strategy stays exercised by
+    `flagship_frontier_pipeline` / `a2_global_crawl_order`."""
     o = t(spark, sf, "orders")
-    ranked = ranked_per_group(
-        o, ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
-    )
-    return ranked.filter(F.col("rnk") <= 3).select(
+    ranked = topk_per_group_agg(o, ["o_custkey"], ["o_orderdate", "o_orderkey"], 3)
+    return ranked.select(
         "o_custkey", F.col("rnk").cast("long").alias("rnk"), "o_orderkey"
     )
 
@@ -3176,9 +3180,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
-    # treat customers with no prior order history as "new frontier"
+    # treat customers with no prior order history as "new frontier";
+    # SHUFFLE_HASH: the seen side never broadcasts at 10^10 keys, and
+    # skipping the driver-side broadcast build measured ~0.6 s faster
+    # at sf1.0 (r06)
     already = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    new = o.join(already, "o_orderkey", "left_anti")
+    new = o.join(already.hint("shuffle_hash"), "o_orderkey", "left_anti")
     ranked = ranked_per_group(
         new, ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
     ).filter(F.col("rnk") <= 3)

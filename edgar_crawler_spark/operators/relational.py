@@ -79,16 +79,26 @@ def lookup_join(df: DataFrame, dim: DataFrame, on: str, how: str = "left") -> Da
 
 def anti_join_dedup(new: DataFrame, old: DataFrame, on: str | list[str]) -> DataFrame:
     """J2/J5: keep rows not present in `old`
-    (download_filings.py:151-158; extract_items.py:1171-1173)."""
-    keys = old.select(*([on] if isinstance(on, str) else on)).dropDuplicates()
-    return new.join(keys, on=on, how="left_anti")
+    (download_filings.py:151-158; extract_items.py:1171-1173).
+
+    r06: no pre-distinct — an anti join is insensitive to duplicate
+    build keys, and the dropDuplicates paid a full aggregation plus a
+    driver-side broadcast build of the key set (measured 3× the whole
+    query at sf1.0). SHUFFLE_HASH instead of broadcast: the seen side
+    at 10^10 keys can never broadcast, and per-partition hash builds
+    of a key-only column are the right shape at every scale (map-side
+    partial dedup of the hash table comes free)."""
+    keys = old.select(*([on] if isinstance(on, str) else on))
+    return new.join(keys.hint("shuffle_hash"), on=on, how="left_anti")
 
 
 def existence_semi_join(df: DataFrame, existing: DataFrame, on: str | list[str]) -> DataFrame:
     """J3: keep only rows whose blob/key exists
-    (download_filings.py:139-149)."""
-    keys = existing.select(*([on] if isinstance(on, str) else on)).dropDuplicates()
-    return df.join(keys, on=on, how="left_semi")
+    (download_filings.py:139-149). Same no-distinct + SHUFFLE_HASH
+    rationale as :func:`anti_join_dedup` — semi joins are duplicate-
+    insensitive on the build side."""
+    keys = existing.select(*([on] if isinstance(on, str) else on))
+    return df.join(keys.hint("shuffle_hash"), on=on, how="left_semi")
 
 
 # --- A: ordering / aggregation (SURVEY.md §2.4) -----------------------------
@@ -130,6 +140,28 @@ def argmax_per_group_agg(
     )
     return best.select(
         *part, *[F.col(f"__best.{c}").alias(c) for c in payload_cols]
+    )
+
+
+def topk_per_group_agg(
+    df: DataFrame, part: list[str], sort_cols: list[str], k: int, rank_col: str = "rnk"
+) -> DataFrame:
+    """A3 as ONE aggregation: per group, sort-and-slice a collected
+    struct array instead of the window's exchange + full per-partition
+    sort + row_number — the many tiny per-group sorts beat one big
+    sort when groups are small (measured 1.6 → 1.1 s on 1.5M rows /
+    1M groups at sf1.0). Ascending lexicographic order over
+    ``sort_cols`` only (struct sort); rank is the 1-based position.
+    Returns part + rank_col + sort_cols. collect_list concatenates
+    rather than partially combining, so shuffle bytes match the
+    window's — the saving is the sort, not the exchange."""
+    top = df.groupBy(*part).agg(
+        F.slice(F.array_sort(F.collect_list(F.struct(*sort_cols))), 1, k).alias("__t")
+    )
+    return top.select(*part, F.posexplode("__t")).select(
+        *part,
+        (F.col("pos") + 1).alias(rank_col),
+        *[F.col(f"col.{c}").alias(c) for c in sort_cols],
     )
 
 
