@@ -60,7 +60,8 @@ def make_payload_row(i: int, seed: int = DEFAULT_SEED) -> dict:
     return dict(_payload_row_memo(int(i), int(seed)))
 
 
-@lru_cache(maxsize=65536)
+@lru_cache(maxsize=4096)  # rows carry image bytes: 64k entries × 32
+# workers pinned multi-GB of resident cache at the 1M-URL bench
 def _payload_row_memo(i: int, seed: int) -> dict:
     from edgar_crawler_spark.functions.imaging import average_hash, encode_image
 

@@ -69,17 +69,27 @@ def _probe_mp3(data: bytes) -> dict:
     if not first:
         raise ValueError("MP3: no valid frame header")
     frame_len, rate, spf, kbps, channels = first
-    # Xing/Info VBR header: frame count without walking every frame
-    side = 32 if channels == 2 else 17
+    # Xing/Info VBR header: frame count without walking every frame.
+    # Side-info size depends on the MPEG VERSION (spf 1152 = MPEG-1),
+    # not just channel mode: MPEG-1 is 32/17 (stereo/mono), MPEG-2/2.5
+    # Layer III is 17/9 — the old constant missed VBR tags in MPEG-2
+    # files entirely.
+    if spf == 1152:  # MPEG-1
+        side = 32 if channels == 2 else 17
+    else:  # MPEG-2 / 2.5
+        side = 17 if channels == 2 else 9
     tag_at = pos + 4 + side
     n_frames = None
-    if data[tag_at : tag_at + 4] in (b"Xing", b"Info"):
+    has_tag = data[tag_at : tag_at + 4] in (b"Xing", b"Info")
+    if has_tag:
         (flags,) = struct.unpack(">I", data[tag_at + 4 : tag_at + 8])
         if flags & 1:
             (n_frames,) = struct.unpack(">I", data[tag_at + 8 : tag_at + 12])
     if n_frames is None:  # CBR walk (bounded: header arithmetic per frame)
         n_frames = 0
-        p = pos
+        # a Xing/Info frame with no frame-count flag is still a TAG
+        # frame, not audio — start counting after it
+        p = pos + frame_len if has_tag else pos
         while True:
             fr = _mp3_frame(data, p)
             if not fr:

@@ -687,7 +687,7 @@ def probe_video_header(data: bytes) -> dict:
                 if (
                     data[pos + 1] == 0xF9
                     and delay_cs is None
-                    and pos + 5 <= len(data)
+                    and pos + 6 <= len(data)  # unpacks [pos+4 : pos+6]
                 ):
                     (delay_cs,) = struct.unpack("<H", data[pos + 4 : pos + 6])
                 pos = _skip_subblocks(pos + 2)

@@ -201,7 +201,9 @@ def write_shard_files(shards: DataFrame, root: str) -> dict:
 
     def write_partition(it):
         written = skipped = 0
+        keys = []
         for row in it:
+            keys.append((int(row.bucket_idx), int(row.shard)))
             d = os.path.join(root, f"bucket{row.bucket_idx:02d}")
             os.makedirs(d, exist_ok=True)
             base = os.path.join(d, f"shard-{row.shard:05d}.tar")
@@ -218,11 +220,37 @@ def write_shard_files(shards: DataFrame, root: str) -> dict:
             with open(side, "w") as f:
                 f.write(row.sha256)
             written += 1
-        yield (written, skipped)
+        yield (written, skipped, keys)
 
     os.makedirs(root, exist_ok=True)
     counts = rows.rdd.mapPartitions(write_partition).collect()
+    # reconcile: membership changes can empty a (bucket, shard) group,
+    # whose stale tar + sidecar would otherwise be re-ingested by any
+    # loader globbing the directory. Live keys ride back with the
+    # per-partition counts (bounded metadata, never bytes — and no
+    # second execution of the tar-build pipeline).
+    live = {k for c in counts for k in c[2]}
+    removed = 0
+    for bdir in os.listdir(root):
+        if not (bdir.startswith("bucket") and bdir[6:].isdigit()):
+            continue
+        b = int(bdir[6:])
+        for fname in os.listdir(os.path.join(root, bdir)):
+            if not (fname.startswith("shard-") and fname.endswith(".tar")):
+                continue
+            stem = fname[6:-4]
+            if not stem.isdigit():
+                continue
+            s = int(stem)
+            if (b, s) not in live:
+                os.remove(os.path.join(root, bdir, fname))
+                try:
+                    os.remove(os.path.join(root, bdir, fname + ".sha256"))
+                except FileNotFoundError:
+                    pass
+                removed += 1
     return {
         "written": sum(c[0] for c in counts),
         "skipped": sum(c[1] for c in counts),
+        "removed_orphans": removed,
     }

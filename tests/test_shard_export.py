@@ -98,18 +98,28 @@ def test_write_shard_files_layout(spark, tmp_path, exported):
     files = sorted(glob.glob(str(tmp_path / "wds" / "bucket*" / "shard-*.tar")))
     n = shards.count()
     assert len(files) == n
-    assert first == {"written": n, "skipped": 0}
+    assert first == {"written": n, "skipped": 0, "removed_orphans": 0}
     with tarfile.open(files[0]) as tf:
         assert len(tf.getnames()) > 0
     # content-addressed re-materialization: second pass skips everything
     again = write_shard_files(shards, str(tmp_path / "wds"))
-    assert again == {"written": 0, "skipped": n}
+    assert again == {"written": 0, "skipped": n, "removed_orphans": 0}
     # corrupt one sidecar -> exactly that shard rewrites
     side = files[0] + ".sha256"
     with open(side, "w") as f:
         f.write("bogus")
     third = write_shard_files(shards, str(tmp_path / "wds"))
-    assert third == {"written": 1, "skipped": n - 1}
+    assert third == {"written": 1, "skipped": n - 1, "removed_orphans": 0}
+    # orphan reconcile: a stale tar from a dropped (bucket, shard) group
+    # is deleted (with its sidecar) by the next materialization
+    ghost = os.path.join(os.path.dirname(files[0]), "shard-09999.tar")
+    with open(ghost, "wb") as f:
+        f.write(b"stale")
+    with open(ghost + ".sha256", "w") as f:
+        f.write("stale")
+    fourth = write_shard_files(shards, str(tmp_path / "wds"))
+    assert fourth == {"written": 0, "skipped": n, "removed_orphans": 1}
+    assert not os.path.exists(ghost) and not os.path.exists(ghost + ".sha256")
 
 
 def test_text_shards_roundtrip_and_determinism(spark):
