@@ -118,28 +118,34 @@ def winnowing_fingerprints(
     keep each window's minimum, dedup. Robust local fingerprints for
     plagiarism/near-dup detection.
 
-    All stages are standard primitives: k-gram generation is a
-    JVM-side transform over a position sequence, the sliding minimum
-    is a window frame, selection is a distinct. Returns
-    (doc_id, fp) — one row per selected fingerprint."""
+    r06 zero-shuffle formulation: the k-gram hashes, the sliding
+    window minima and the per-document dedup all live INSIDE the row
+    (transform over a position sequence → per-position array_min over
+    a slice → array_distinct), so neither the (doc_id, pos)
+    window-sort exchange nor the global distinct exchange exists —
+    the output key starts with doc_id, so per-document dedup IS the
+    global dedup. Same fingerprints: the window frame 'CURRENT ROW
+    AND window-1 FOLLOWING' truncates at the tail exactly as slice()
+    does. Returns (doc_id, fp) — one row per selected fingerprint."""
     t = F.col(text_col)
     n_grams = F.greatest(F.length(t) - k + 1, F.lit(0))
-    grams = (
-        fanout(docs).filter(n_grams > 0)
-        .select("doc_id", F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"), t.alias("__t"))
-        .select("doc_id", "pos", F.expr(f"substring(__t, pos, {k})").alias("gram"))
-        .withColumn("h", h48_col(F.col("gram")))
-        .drop("gram")
+    hashed = (
+        fanout(docs)
+        .filter(n_grams > 0)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda pos: h48_col(t.substr(pos, F.lit(k))),
+            ).alias("__hs"),
+        )
     )
-    from pyspark.sql import Window as W
-
-    frame = (
-        W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("__hs")),
+        lambda pos: F.array_min(F.slice("__hs", pos, window)),
     )
-    return (
-        grams.withColumn("fp", F.min("h").over(frame))
-        .select("doc_id", "fp")
-        .dropDuplicates()
+    return hashed.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
     )
 
 
