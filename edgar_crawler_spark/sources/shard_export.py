@@ -69,30 +69,9 @@ def export_training_shards(
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        from edgar_crawler_spark.operators.hashing import h48_py
-
-        pdf = pdf.assign(__h=[h48_py(str(x)) for x in pdf[id_col]])
-        pdf = pdf.sort_values(["batch_idx", "__h", id_col])
+        pdf = _pack_order(pdf, id_col)
         buf = io.BytesIO()
-        with tarfile.open(
-            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
-        ) as tf:
-            for batch_idx, rid, blob, caption, fmt in zip(
-                pdf["batch_idx"], pdf[id_col], pdf[bytes_col],
-                pdf[caption_col], pdf[fmt_col],
-            ):
-                key = f"{int(batch_idx):06d}_{rid}"
-                blob = bytes(blob)
-                for name, payload_bytes in (
-                    (f"{key}.{_EXT.get(fmt, 'bin')}", blob),
-                    (f"{key}.txt", (caption or "").encode("utf-8")),
-                ):
-                    ti = tarfile.TarInfo(name)
-                    ti.size = len(payload_bytes)
-                    ti.mtime = 0
-                    ti.uid = ti.gid = 0
-                    ti.uname = ti.gname = ""
-                    tf.addfile(ti, io.BytesIO(payload_bytes))
+        _emit_tar(pdf, buf, id_col, bytes_col, caption_col, fmt_col)
         tar_bytes = buf.getvalue()
         return pd.DataFrame(
             {
@@ -108,6 +87,183 @@ def export_training_shards(
         )
 
     return joined.groupBy("bucket_idx", "shard").applyInPandas(build, SHARD_SCHEMA)
+
+
+def _pack_order(pdf: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    from edgar_crawler_spark.operators.hashing import h48_py
+
+    pdf = pdf.assign(__h=[h48_py(str(x)) for x in pdf[id_col]])
+    return pdf.sort_values(["batch_idx", "__h", id_col])
+
+
+def _emit_tar(pdf, sink, id_col: str, bytes_col: str, caption_col: str, fmt_col: str) -> None:
+    """Stream the sorted group's members into ``sink`` (anything with
+    write()/tell()) as the canonical deterministic USTAR archive —
+    shared by the in-row builder and the streaming writer so the
+    content address is one definition."""
+    with tarfile.open(fileobj=sink, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for batch_idx, rid, blob, caption, fmt in zip(
+            pdf["batch_idx"], pdf[id_col], pdf[bytes_col],
+            pdf[caption_col], pdf[fmt_col],
+        ):
+            key = f"{int(batch_idx):06d}_{rid}"
+            blob = bytes(blob)
+            for name, payload_bytes in (
+                (f"{key}.{_EXT.get(fmt, 'bin')}", blob),
+                (f"{key}.txt", (caption or "").encode("utf-8")),
+            ):
+                ti = tarfile.TarInfo(name)
+                ti.size = len(payload_bytes)
+                ti.mtime = 0
+                ti.uid = ti.gid = 0
+                ti.uname = ti.gname = ""
+                tf.addfile(ti, io.BytesIO(payload_bytes))
+
+
+class _TeeHash:
+    """File-like sha256 sink: hashes (and optionally tees to a real
+    file) everything written, tracking position for tarfile."""
+
+    def __init__(self, fobj=None):
+        self._f = fobj
+        self._sha = hashlib.sha256()
+        self._pos = 0
+
+    def write(self, b):
+        self._sha.update(b)
+        self._pos += len(b)
+        if self._f is not None:
+            self._f.write(b)
+        return len(b)
+
+    def tell(self):
+        return self._pos
+
+    def hexdigest(self) -> str:
+        return self._sha.hexdigest()
+
+
+STREAMED_SHARD_SCHEMA = (
+    "bucket_idx int, shard int, n_items bigint, n_batches int, "
+    "first_id string, last_id string, sha256 string, status string"
+)
+
+
+def export_training_shards_streamed(
+    payload: DataFrame,
+    assignment: DataFrame,
+    root: str,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    caption_col: str = "caption",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """The 100 TB shape of :func:`export_training_shards` +
+    :func:`write_shard_files`, fused: each group kernel STREAMS its tar
+    members straight to ``{root}/bucketNN/shard-SSSSS.tar`` (tmp +
+    atomic rename), hashing as it goes, and returns ONLY the manifest
+    row plus a written/skipped status — the archive never exists as a
+    row value, so a conventional ~1 GB WebDataset shard no longer
+    collides with the 2 GiB row/Arrow-cell ceiling the in-row builder
+    has, and there is no second job carrying shard bytes.
+
+    The content-addressed skip is kept by a hash-only first pass (the
+    tar is streamed into a sha256 sink with no file IO); only on a
+    sidecar mismatch is it streamed again to disk. Bytes and therefore
+    sha256 are IDENTICAL to the in-row builder — both emit through
+    ``_emit_tar``."""
+    import os
+
+    joined = payload.select(id_col, bytes_col, caption_col, fmt_col).join(
+        assignment.hint("shuffle_hash"), on=id_col
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _pack_order(pdf, id_col)
+        b, s = int(pdf["bucket_idx"].iloc[0]), int(pdf["shard"].iloc[0])
+        hash_only = _TeeHash()
+        _emit_tar(pdf, hash_only, id_col, bytes_col, caption_col, fmt_col)
+        sha = hash_only.hexdigest()
+        d = os.path.join(root, f"bucket{b:02d}")
+        os.makedirs(d, exist_ok=True)
+        base = os.path.join(d, f"shard-{s:05d}.tar")
+        side = base + ".sha256"
+        status = "written"
+        try:
+            with open(side) as f:
+                if f.read().strip() == sha and os.path.exists(base):
+                    status = "skipped"
+        except FileNotFoundError:
+            pass
+        if status == "written":
+            tmp = base + ".tmp"
+            with open(tmp, "wb") as f:
+                _emit_tar(pdf, _TeeHash(f), id_col, bytes_col, caption_col, fmt_col)
+            os.replace(tmp, base)
+            with open(side, "w") as f:
+                f.write(sha)
+        return pd.DataFrame(
+            {
+                "bucket_idx": [b],
+                "shard": [s],
+                "n_items": [len(pdf)],
+                "n_batches": [int(pdf["batch_idx"].nunique())],
+                "first_id": [str(pdf[id_col].iloc[0])],
+                "last_id": [str(pdf[id_col].iloc[-1])],
+                "sha256": [sha],
+                "status": [status],
+            }
+        )
+
+    return joined.groupBy("bucket_idx", "shard").applyInPandas(
+        build, STREAMED_SHARD_SCHEMA
+    )
+
+
+def write_shard_files_streamed(
+    payload: DataFrame,
+    assignment: DataFrame,
+    root: str,
+    **kwargs,
+) -> dict:
+    """Materialize a streamed export and reconcile the directory:
+    collects ONLY manifest rows (bounded metadata), deletes tars whose
+    (bucket, shard) group no longer exists plus stale ``.tmp`` files.
+    Returns {written, skipped, removed_orphans, shards} where shards
+    is the list of manifest Rows."""
+    import os
+
+    rows = export_training_shards_streamed(payload, assignment, root, **kwargs).collect()
+    live = {(int(r["bucket_idx"]), int(r["shard"])) for r in rows}
+    removed = 0
+    os.makedirs(root, exist_ok=True)
+    for bdir in os.listdir(root):
+        if not (bdir.startswith("bucket") and bdir[6:].isdigit()):
+            continue
+        b = int(bdir[6:])
+        for fname in list(os.listdir(os.path.join(root, bdir))):
+            full = os.path.join(root, bdir, fname)
+            if fname.endswith(".tar.tmp"):  # crash leftovers
+                os.remove(full)
+                continue
+            if not (fname.startswith("shard-") and fname.endswith(".tar")):
+                continue
+            stem = fname[6:-4]
+            if not stem.isdigit():
+                continue
+            if (b, int(stem)) not in live:
+                os.remove(full)
+                try:
+                    os.remove(full + ".sha256")
+                except FileNotFoundError:
+                    pass
+                removed += 1
+    return {
+        "written": sum(1 for r in rows if r["status"] == "written"),
+        "skipped": sum(1 for r in rows if r["status"] == "skipped"),
+        "removed_orphans": removed,
+        "shards": rows,
+    }
 
 
 def shard_manifest(shards: DataFrame) -> DataFrame:

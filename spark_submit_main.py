@@ -459,8 +459,7 @@ def main() -> None:
             pack_image_batches,
         )
         from edgar_crawler_spark.sources.shard_export import (
-            export_training_shards,
-            write_shard_files,
+            write_shard_files_streamed,
         )
 
         payload = fr.payload.read(spark)
@@ -474,17 +473,16 @@ def main() -> None:
                 batch_px_budget=args.export_px_budget,
                 n_shards=args.export_n_shards,
             )
-            # consumed twice (file write + manifest counts): checkpoint
-            # so the tar-building kernel runs once
-            shards = export_training_shards(survivors, asg).localCheckpoint()
-            wrote = write_shard_files(shards, args.export_shards)
-            agg = shards.agg(
-                F.count("*").alias("n"), F.sum("n_items").alias("items")
-            ).first()
+            # streamed export: tars go straight from the group kernel
+            # to disk (never a row value — no 2 GiB shard ceiling, no
+            # second job over shard bytes); manifest rows come back as
+            # bounded metadata
+            wrote = write_shard_files_streamed(survivors, asg, args.export_shards)
+            shard_rows = wrote.pop("shards")
             report["export_shards"] = {
                 "dir": args.export_shards,
-                "n_shards": int(agg["n"]),
-                "n_items": int(agg["items"] or 0),
+                "n_shards": len(shard_rows),
+                "n_items": int(sum(r["n_items"] for r in shard_rows)),
                 **wrote,
             }
             if runlog:

@@ -150,3 +150,48 @@ def test_text_shards_roundtrip_and_determinism(spark):
             assert r["text"] == ref.loc[r["id"], "text"]
             seen += 1
     assert seen == len(ref)
+
+
+def test_streamed_export_matches_inrow_and_skips(spark, tmp_path, exported):
+    """The streaming writer must produce byte-identical tars (same
+    sha256 content addresses) as the in-row builder, skip unchanged
+    shards on re-run, and reconcile orphans/tmp leftovers."""
+    import os
+
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import pack_image_batches
+    from edgar_crawler_spark.sources.shard_export import write_shard_files_streamed
+
+    _, _, shards = exported
+    pay = payload_df(spark, 300)
+    asg = pack_image_batches(
+        pay, buckets=[(32, 32), (32, 16), (16, 32)],
+        batch_px_budget=8192, n_shards=4,
+    )
+    root = str(tmp_path / "wds_stream")
+    res = write_shard_files_streamed(pay, asg, root)
+    got = {(r["bucket_idx"], r["shard"]): r["sha256"] for r in res["shards"]}
+    want = {
+        (int(r.bucket_idx), int(r.shard)): r.sha256 for r in shards.itertuples()
+    }
+    assert got == want  # identical content addresses as the in-row path
+    n = len(got)
+    assert res["written"] == n and res["skipped"] == 0
+    # on-disk bytes hash to the sidecar address
+    import glob
+    import hashlib
+
+    for f in glob.glob(os.path.join(root, "bucket*", "shard-*.tar")):
+        with open(f, "rb") as fh:
+            assert hashlib.sha256(fh.read()).hexdigest() == open(f + ".sha256").read().strip()
+    # second pass: everything skips (hash-only pass, no writes)
+    res2 = write_shard_files_streamed(pay, asg, root)
+    assert res2["written"] == 0 and res2["skipped"] == n
+    # stale tmp + orphan cleanup
+    bdir = os.path.dirname(glob.glob(os.path.join(root, "bucket*", "*.tar"))[0])
+    open(os.path.join(bdir, "shard-09999.tar"), "wb").write(b"x")
+    open(os.path.join(bdir, "shard-00000.tar.tmp"), "wb").write(b"y")
+    res3 = write_shard_files_streamed(pay, asg, root)
+    assert res3["removed_orphans"] == 1
+    assert not os.path.exists(os.path.join(bdir, "shard-09999.tar"))
+    assert not os.path.exists(os.path.join(bdir, "shard-00000.tar.tmp"))
