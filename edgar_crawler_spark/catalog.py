@@ -409,8 +409,9 @@ def q_a6_argmax(spark, sf):
     shuffle from every row to one struct per group; the window
     formulation shuffled+sorted all 6M rows). Result identical: the
     payload equals the ordering key columns, so even a full-key tie
-    returns the same values. The window strategy remains exercised as
-    `a6_argmax_window_strategy` against the same oracle."""
+    returns the same values. The window strategy remains exercised by
+    the `a6_argmax_aggregate` catalog row (the two rows swapped
+    physical strategies this round) against the same oracle."""
     li = t(spark, sf, "lineitem")
     best = argmax_per_group_agg(
         li,

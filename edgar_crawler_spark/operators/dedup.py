@@ -44,14 +44,15 @@ def tok_hash_array(text_col: F.Column, distinct: bool) -> F.Column:
 
 def _hashed_docs(docs: DataFrame, text_col: str, distinct: bool) -> DataFrame:
     """(doc_id, __hs) rows for docs with ≥1 token. The emptiness
-    filter tests the TOKEN array (split only — predicate pushdown
-    re-inlines the filter below the projection, so testing the hash
-    array would run the md5 transform twice per row); the hash array
-    materializes once in its own projection."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    filter is `length(trim(text)) > 0` — exactly equivalent to "the
+    space-split token list is non-empty" (trim strips the space
+    character, the tokenizer splits on it; NULL text fails both) —
+    and runs BEFORE the fan-out, so empty docs never shuffle and the
+    filter never touches split() or the md5 transform (a filter on the
+    hash array would be pushed below the projection and run the
+    transform twice per row)."""
     return (
-        fanout(docs)
-        .filter(F.size(toks) > 0)
+        fanout(docs.filter(F.length(F.trim(F.col(text_col))) > 0))
         .select("doc_id", tok_hash_array(F.col(text_col), distinct).alias("__hs"))
     )
 
@@ -220,8 +221,15 @@ def band_rows_from_wide(wide: DataFrame, k: int = MINHASH_K, bands: int = LSH_BA
     band_key is a concat of that band's minhashes in seed order, built
     per-row and exploded: no groupBy, no exchange (the long-form
     ``band_rows_from_sigs`` needs a (doc_id, band) groupBy because seed
-    rows arrive separately)."""
+    rows arrive separately). Band assignment mirrors the long form
+    exactly: band = seed // (k // bands), INCLUDING the remainder band
+    when bands does not divide k (seeds k - k%bands .. k-1 land in
+    band `bands`, a short extra band — dropping them would silently
+    lose recall vs indexes built by the long-form path)."""
     rows_per_band = k // bands
+    groups: dict[int, list[int]] = {}
+    for seed in range(k):
+        groups.setdefault(seed // rows_per_band, []).append(seed)
     return wide.select(
         "doc_id",
         F.explode(
@@ -231,13 +239,10 @@ def band_rows_from_wide(wide: DataFrame, k: int = MINHASH_K, bands: int = LSH_BA
                         F.lit(b).cast("int").alias("band"),
                         F.concat_ws(
                             ",",
-                            *[
-                                F.col(f"m{b * rows_per_band + j}").cast("string")
-                                for j in range(rows_per_band)
-                            ],
+                            *[F.col(f"m{s}").cast("string") for s in seeds],
                         ).alias("band_key"),
                     )
-                    for b in range(bands)
+                    for b, seeds in sorted(groups.items())
                 ]
             )
         ).alias("bk"),

@@ -154,14 +154,19 @@ def topk_per_group_agg(
     ``sort_cols`` only (struct sort); rank is the 1-based position.
     Returns part + rank_col + sort_cols. collect_list concatenates
     rather than partially combining, so shuffle bytes match the
-    window's — the saving is the sort, not the exchange."""
+    window's — the saving is the sort, not the exchange. CAVEAT: each
+    group materializes as ONE in-memory array before the slice — use
+    :func:`ranked_per_group` (which sorts with spill) when a single
+    group can be huge."""
     top = df.groupBy(*part).agg(
         F.slice(F.array_sort(F.collect_list(F.struct(*sort_cols))), 1, k).alias("__t")
     )
-    return top.select(*part, F.posexplode("__t")).select(
+    return top.select(
+        *part, F.posexplode("__t").alias("__pos", "__col")
+    ).select(
         *part,
-        (F.col("pos") + 1).alias(rank_col),
-        *[F.col(f"col.{c}").alias(c) for c in sort_cols],
+        (F.col("__pos") + 1).alias(rank_col),
+        *[F.col(f"__col.{c}").alias(c) for c in sort_cols],
     )
 
 

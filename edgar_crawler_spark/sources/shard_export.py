@@ -169,8 +169,13 @@ def export_training_shards_streamed(
 
     The content-addressed skip is kept by a hash-only first pass (the
     tar is streamed into a sha256 sink with no file IO); only on a
-    sidecar mismatch is it streamed again to disk. Bytes and therefore
-    sha256 are IDENTICAL to the in-row builder — both emit through
+    sidecar mismatch is it streamed again to disk. A changed shard thus
+    assembles its members twice — deliberate: assembly is memcpy-bound
+    and cheap next to the disk write, while the alternative (tee to a
+    tmp file while hashing, delete on match) would pay real write IO
+    for every UNCHANGED shard, defeating the incremental-skip fast
+    path that motivates content addressing. Bytes and therefore sha256
+    are IDENTICAL to the in-row builder — both emit through
     ``_emit_tar``."""
     import os
 
@@ -237,6 +242,11 @@ def write_shard_files_streamed(
     live = {(int(r["bucket_idx"]), int(r["shard"])) for r in rows}
     removed = 0
     os.makedirs(root, exist_ok=True)
+    if not live:
+        # SAFETY: zero shards (empty slice / over-aggressive gate /
+        # upstream bug) must never wipe a previously exported corpus —
+        # skip orphan reconciliation entirely
+        return {"written": 0, "skipped": 0, "removed_orphans": 0, "shards": rows}
     for bdir in os.listdir(root):
         if not (bdir.startswith("bucket") and bdir[6:].isdigit()):
             continue
@@ -384,8 +394,17 @@ def write_shard_files(shards: DataFrame, root: str) -> dict:
     # whose stale tar + sidecar would otherwise be re-ingested by any
     # loader globbing the directory. Live keys ride back with the
     # per-partition counts (bounded metadata, never bytes — and no
-    # second execution of the tar-build pipeline).
+    # second execution of the tar-build pipeline). SAFETY: an EMPTY
+    # manifest skips reconciliation entirely — an upstream bug or an
+    # over-aggressive gate that yields zero shards must not wipe a
+    # previously exported corpus.
     live = {k for c in counts for k in c[2]}
+    if not live:
+        return {
+            "written": 0,
+            "skipped": 0,
+            "removed_orphans": 0,
+        }
     removed = 0
     for bdir in os.listdir(root):
         if not (bdir.startswith("bucket") and bdir[6:].isdigit()):

@@ -195,3 +195,27 @@ def test_streamed_export_matches_inrow_and_skips(spark, tmp_path, exported):
     assert res3["removed_orphans"] == 1
     assert not os.path.exists(os.path.join(bdir, "shard-09999.tar"))
     assert not os.path.exists(os.path.join(bdir, "shard-00000.tar.tmp"))
+
+
+def test_streamed_export_empty_manifest_never_wipes(spark, tmp_path):
+    """An export run that yields ZERO shards must not reconcile away a
+    previously exported corpus (empty-slice / over-aggressive-gate
+    safety)."""
+    import os
+
+    from edgar_crawler_spark.fixtures.payload import payload_df
+    from edgar_crawler_spark.operators.multimodal import pack_image_batches
+    from edgar_crawler_spark.sources.shard_export import write_shard_files_streamed
+
+    pay = payload_df(spark, 60)
+    asg = pack_image_batches(pay, buckets=[(32, 32)], batch_px_budget=8192, n_shards=2)
+    root = str(tmp_path / "wds_guard")
+    first = write_shard_files_streamed(pay, asg, root)
+    assert first["written"] > 0
+    import glob
+    n_tars = len(glob.glob(os.path.join(root, "bucket*", "*.tar")))
+    # empty slice: no payload rows survive the join
+    empty = pay.filter("image_id = 'no-such-id'")
+    res = write_shard_files_streamed(empty, asg, root)
+    assert res == {"written": 0, "skipped": 0, "removed_orphans": 0, "shards": []}
+    assert len(glob.glob(os.path.join(root, "bucket*", "*.tar"))) == n_tars
